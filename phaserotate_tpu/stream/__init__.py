@@ -1,0 +1,19 @@
+"""Streaming engine: lax.scan OLA core + host-blocksize wrapper."""
+
+from .engine import (
+    StreamState,
+    init_state,
+    rotate_streamed,
+    stream_process,
+    stream_step,
+)
+from .host import StreamingRotator
+
+__all__ = [
+    "StreamState",
+    "StreamingRotator",
+    "init_state",
+    "rotate_streamed",
+    "stream_process",
+    "stream_step",
+]

@@ -1,0 +1,105 @@
+"""Host-block-size-independent streaming wrapper.
+
+Reproduces the plugin's ``run(n_samples)`` contract
+(src/phaserotate.c:615-725): the host may push blocks of *any* size (64
+samples, odd sizes, bigger than parsiz — anything); internally the engine
+advances in ``parsiz`` blocks, staging partial frames exactly like the
+reference's offset bookkeeping.  Output always lags input by
+``parsiz + firlen/2`` samples.
+
+This is the host-side (numpy) shell around the jitted device engine —
+equivalent in role to the LV2 run() glue, with the DSP on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.sizes import StreamGeometry, stream_geometry_for_rate
+from .engine import init_state, stream_step
+
+__all__ = ["StreamingRotator"]
+
+
+class StreamingRotator:
+    """Stateful streaming rotator for one or more channels.
+
+    Example::
+
+        rot = StreamingRotator(rate=48000, channels=2)
+        out = rot.process(block, degrees=[35.0, 35.0])  # any block length
+
+    ``process`` is real-time-shaped: no allocation proportional to history,
+    one device dispatch per completed ``parsiz`` frame.
+    """
+
+    def __init__(
+        self,
+        rate: float = 48000.0,
+        channels: int = 1,
+        geom: Optional[StreamGeometry] = None,
+    ):
+        self.geom = geom or stream_geometry_for_rate(rate)
+        self.channels = channels
+        self._step = stream_step  # jitted, static geom
+        self.reset()
+
+    @property
+    def latency(self) -> int:
+        """Samples of output delay (src/phaserotate.c:297, 788)."""
+        return self.geom.latency
+
+    def reset(self) -> None:
+        """activate() semantics: clear all streaming state
+        (src/phaserotate.c:511-520)."""
+        import jax
+
+        parsiz = self.geom.parsiz
+        self._state = [init_state(self.geom) for _ in range(self.channels)]
+        self._offset = 0
+        self._cur_in = np.zeros((self.channels, parsiz), np.float32)
+        self._cur_out = np.zeros((self.channels, parsiz), np.float32)
+        self._jax = jax
+
+    def process(self, block: np.ndarray, degrees) -> np.ndarray:
+        """Process one host block.
+
+        Args:
+          block: (channels, n) or (n,) float32.
+          degrees: scalar or per-channel sequence — the control-port value
+            for this host block (read once per run(), src/phaserotate.c:564).
+
+        Returns the same-shaped output block (delayed by ``latency``).
+        """
+        squeeze = block.ndim == 1
+        x = np.atleast_2d(np.asarray(block, np.float32))
+        if x.shape[0] != self.channels:
+            raise ValueError(
+                f"expected {self.channels} channels, got shape {block.shape}")
+        if np.isscalar(degrees) or np.ndim(degrees) == 0:
+            degs = [float(degrees)] * self.channels
+        else:
+            degs = [float(d) for d in degrees]
+
+        parsiz = self.geom.parsiz
+        n = x.shape[1]
+        out = np.empty_like(x)
+        pos = 0
+        offset = self._offset
+        while pos < n:
+            ns = min(parsiz - offset, n - pos)
+            self._cur_in[:, offset : offset + ns] = x[:, pos : pos + ns]
+            out[:, pos : pos + ns] = self._cur_out[:, offset : offset + ns]
+            offset += ns
+            pos += ns
+            if offset == parsiz:
+                offset = 0
+                for c in range(self.channels):
+                    self._state[c], y = self._step(
+                        self._state[c], self._cur_in[c], degs[c], self.geom
+                    )
+                    self._cur_out[c] = np.asarray(y)
+        self._offset = offset
+        return out[0] if squeeze else out

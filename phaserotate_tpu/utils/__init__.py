@@ -1,0 +1,5 @@
+"""Utilities: complex representation, profiling, misc DSP helpers."""
+
+from .cplx import from_ri, np_to_ri, to_ri
+
+__all__ = ["from_ri", "np_to_ri", "to_ri"]

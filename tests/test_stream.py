@@ -1,0 +1,144 @@
+"""Streaming engine: offline equivalence, block-size independence,
+angle interpolation semantics."""
+
+import numpy as np
+import pytest
+
+from phaserotate_tpu.core import sizes
+from phaserotate_tpu.ops import rotate_fir
+from phaserotate_tpu.stream import (
+    StreamingRotator,
+    init_state,
+    rotate_streamed,
+    stream_process,
+)
+
+GEOM = sizes.StreamGeometry(rate=48000, fftlen=512, firlen=3072)
+
+
+def test_streamed_equals_offline_fir(rng):
+    """Chunked OLA output must equal whole-file FIR rotation after latency
+    trim (SURVEY.md §4 'streaming equivalence')."""
+    x = rng.standard_normal(20000).astype(np.float32) * 0.5
+    deg = 35.0
+    y_stream = np.asarray(rotate_streamed(x, deg, geom=GEOM))
+    y_offline = np.asarray(rotate_fir(x, deg, firlen=GEOM.firlen))
+    # boundary effects only at the very end (stream zero-pads), so compare
+    # the full interior
+    np.testing.assert_allclose(y_stream, y_offline, atol=1e-5)
+
+
+def test_stream_zero_angle_passthrough(rng):
+    """0 deg must reproduce the (delayed) input bit-closely."""
+    x = rng.standard_normal(8192).astype(np.float32)
+    y = np.asarray(rotate_streamed(x, 0.0, geom=GEOM))
+    np.testing.assert_allclose(y, x, atol=1e-6)
+
+
+@pytest.mark.parametrize("blocksize", [64, 256, 333, 1024, 4096])
+def test_blocksize_independence(rng, blocksize):
+    """Any host block size produces identical output
+    (src/phaserotate.c:615-629 contract)."""
+    x = rng.standard_normal(8192).astype(np.float32) * 0.5
+    deg = 77.0
+
+    ref_rot = StreamingRotator(geom=GEOM, channels=1)
+    want = ref_rot.process(x, deg)
+
+    rot = StreamingRotator(geom=GEOM, channels=1)
+    got = np.empty_like(x)
+    for i in range(0, len(x), blocksize):
+        blk = x[i : i + blocksize]
+        got[i : i + len(blk)] = rot.process(blk, deg)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_host_wrapper_latency_alignment(rng):
+    """Wrapper output is input delayed by exactly parsiz + firlen/2."""
+    x = rng.standard_normal(6000).astype(np.float32)
+    rot = StreamingRotator(geom=GEOM, channels=1)
+    y = rot.process(x, 0.0)
+    lat = rot.latency
+    assert lat == GEOM.parsiz + GEOM.firlen // 2
+    np.testing.assert_allclose(y[lat:], x[: len(x) - lat], atol=1e-6)
+    np.testing.assert_allclose(y[:lat], 0.0, atol=1e-7)
+
+
+def test_stereo_channels_independent(rng):
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    rot = StreamingRotator(geom=GEOM, channels=2)
+    y = rot.process(x, [30.0, -60.0])
+
+    m0 = StreamingRotator(geom=GEOM, channels=1)
+    m1 = StreamingRotator(geom=GEOM, channels=1)
+    np.testing.assert_allclose(y[0], m0.process(x[0], 30.0), atol=1e-7)
+    np.testing.assert_allclose(y[1], m1.process(x[1], -60.0), atol=1e-7)
+
+
+def test_angle_interpolation_ramp(rng):
+    """Angle changes ramp per-sample, clamped to parsiz*1e-6 turns/sample
+    (src/phaserotate.c:685-709): no discontinuity, eventual convergence."""
+    x = np.ones(40960, np.float32)  # DC: any click is visible directly
+    parsiz = GEOM.parsiz
+    frames = x.reshape(-1, parsiz)
+    n_frames = frames.shape[0]
+    # jump 0 -> 90 deg at frame 30
+    targets = np.where(np.arange(n_frames) < 30, 0.0, 90.0).astype(np.float32)
+    state = init_state(GEOM)
+    _, out = stream_process(state, frames, targets, GEOM)
+    y = np.asarray(out).reshape(-1)
+
+    # output continuous after warm-up: max per-sample jump bounded by the
+    # ramp rate (the initial step at firlat is the delayed DC arriving)
+    dy = np.abs(np.diff(y[GEOM.firlen :]))
+    assert dy.max() < 2e-3, dy.max()
+
+    # converged to the 90 deg steady state by the end
+    # (DC through cos(theta): spectral rotation of DC scales by cos)
+    final_state, _ = stream_process(state, frames, targets, GEOM)
+    assert abs(float(final_state.angle) - (-0.25)) < 1e-6  # 90deg = -0.25 turns
+
+
+def test_interp_rate_clamp():
+    """A +-180 deg swing takes multiple blocks (rate clamp), smaller steps
+    finish in one block."""
+    parsiz = GEOM.parsiz
+    x = np.zeros((40, parsiz), np.float32)
+    state = init_state(GEOM)
+    # 180 deg = 0.5 turns; max per block = parsiz^2 * 1e-6 = 0.0655 turns
+    targets = np.full((40,), 180.0, np.float32)
+    st, _ = stream_process(state, x, targets, GEOM)
+    per_block = parsiz * GEOM.interp_th
+    blocks_needed = int(np.ceil(0.5 / per_block))
+    assert blocks_needed > 1
+    assert abs(float(st.angle) - (-0.5)) < 1e-5
+
+
+def test_wraparound_shortest_path():
+    """170 -> -120 deg interpolates through 180 (the short way), not back
+    through 0 (src/phaserotate.c:676-683)."""
+    parsiz = GEOM.parsiz
+    state = init_state(GEOM)
+    # settle at 170 deg first
+    x = np.zeros((60, parsiz), np.float32)
+    st, _ = stream_process(state, x, np.full((60,), 170.0, np.float32), GEOM)
+    a0 = float(st.angle)
+    assert a0 == pytest.approx(170.0 / -360.0, abs=1e-6)
+    st2, _ = stream_process(st, x[:1], np.full((1,), -120.0, np.float32), GEOM)
+    a1 = float(st2.angle)
+    # negated turns: 170 deg -> -0.4722; -120 deg -> +0.3333. The short way
+    # (110 deg) runs *down* through -0.5 (=180 deg); rate-clamped, so after
+    # one block the angle decreased past -0.5 rather than increasing.
+    assert a1 < a0
+    assert a1 < -0.5
+
+
+def test_wraparound_small_jump_snaps():
+    """170 -> -170 deg is only 20 deg the short way: completes in one block
+    and snaps exactly to target."""
+    parsiz = GEOM.parsiz
+    state = init_state(GEOM)
+    x = np.zeros((60, parsiz), np.float32)
+    st, _ = stream_process(state, x, np.full((60,), 170.0, np.float32), GEOM)
+    st2, _ = stream_process(st, x[:1], np.full((1,), -170.0, np.float32), GEOM)
+    assert float(st2.angle) == pytest.approx(-170.0 / -360.0, abs=1e-6)
