@@ -1,0 +1,196 @@
+"""Batched min-peak angle sweep.
+
+The reference CLI walks the file block by block, computes the Hilbert
+transform once per block, then serially evaluates ~720 candidate angles per
+block with SIMD peak scans (cli/phase-rotate.cc:389-428).  Here the whole
+file's Hilbert signal is computed in one batched partitioned convolution and
+*all* candidate angles are evaluated together as a tiled (n, 2) x (2, 360)
+MXU matmul with a fused abs-max reduction — no serial angle loop, no serial
+block loop.
+
+Alignment map (derived from cli/phase-rotate.cc:181-232, 389-428):
+
+* stream position ``m`` of block ``k``, offset ``i``: ``m = k*parsiz + i``
+* Hilbert output ``hil[i]`` of block ``k`` is the linear convolution
+  ``(fir * x)[m]`` (fir support ``parsiz`` taps, group delay ``firlen =
+  parsiz/2``)
+* the paired "dry" sample is ``x[m - firlen]`` (``&tdc[firlen]``)
+* evaluated sample set per angle != 0:
+  - first block (``start`` flag): pairs ``hil[firlen..parsiz)`` with
+    *pre-file zeros* (``tdc[firlen+i]`` lands in the zeroed previous
+    block), i.e. contributes ``|sa|*max|h[m]|, m in [firlen, parsiz)``
+  - all later blocks (including one final all-zero flush block,
+    cli/phase-rotate.cc:585-586): aligned pairs for
+    ``m in [parsiz, (B+1)*parsiz)``
+* angle == 0 is special-cased to the raw input peak
+  (cli/phase-rotate.cc:413-414).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.angles import MAXSAMPLE, all_angle_cos_sin
+from ..core.fir import offline_fir_spectrum
+from ..core.sizes import OfflineGeometry
+from ..ops.convolve import partitioned_convolve
+
+__all__ = ["sweep_peaks", "sweep_peaks_aux", "apply_angles", "hilbert_offline"]
+
+
+def _offline_frames(x: jnp.ndarray, parsiz: int) -> int:
+    """Number of data blocks the CLI would read (silence-padded)."""
+    return -(-x.shape[-1] // parsiz)
+
+
+def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
+    """Full-stream Hilbert-FIR signal ``h[m] = (fir * x)[m]`` with the
+    offline geometry, length ``(B+1)*parsiz`` (one flush block).
+
+    Single-partition OLA, batched over all blocks at once — identical
+    arithmetic to PhaseRotateProc::hilbert (cli/phase-rotate.cc:181-212).
+    """
+    parsiz = geom.parsiz
+    n_blocks = _offline_frames(x, parsiz)
+    spectra = offline_fir_spectrum(geom)[None]  # (1, parsiz+1, 2)
+    full = partitioned_convolve(x, spectra, parsiz)
+    return full[..., : (n_blocks + 1) * parsiz]
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "chunk"))
+def _sweep_impl(
+    x: jnp.ndarray,
+    geom: OfflineGeometry,
+    chunk: int,
+) -> jnp.ndarray:
+    parsiz = geom.parsiz
+    firlen = geom.firlen
+    n_blocks = _offline_frames(x, parsiz)
+    total = (n_blocks + 1) * parsiz
+
+    pad = n_blocks * parsiz - x.shape[-1]
+    x_pad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad + parsiz)])
+
+    h = hilbert_offline(x, geom)  # (..., total)
+
+    # aligned pairs for m in [parsiz, total)
+    b0 = x_pad[..., parsiz - firlen : total - firlen]  # x[m - firlen]
+    b1 = h[..., parsiz:total]
+
+    cs = all_angle_cos_sin()  # (2, 360)
+
+    def one_channel(b0c, b1c, hc, xc):
+        n = b0c.shape[-1]
+        n_chunks = -(-n // chunk)
+        padn = n_chunks * chunk - n
+        s = jnp.stack(
+            [jnp.pad(b0c, (0, padn)), jnp.pad(b1c, (0, padn))], axis=-1
+        ).reshape(n_chunks, chunk, 2)
+
+        def body(carry, tile):
+            prod = jnp.dot(
+                tile, cs, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.maximum(carry, jnp.max(jnp.abs(prod), axis=0)), None
+
+        peaks, _ = jax.lax.scan(
+            body, jnp.zeros((MAXSAMPLE,), jnp.float32), s
+        )
+        # start-block region: |sin| * max|h[firlen:parsiz]|
+        # (cli/phase-rotate.cc:418-419)
+        h_start = jnp.max(jnp.abs(hc[firlen:parsiz]))
+        peaks = jnp.maximum(peaks, jnp.abs(cs[1]) * h_start)
+        # aux: the "rotated by 0" peak (max|b0| over the aligned region) —
+        # what a fine window crossing 360 writes into table slot 0 via the
+        # non-special-cased path (cli/phase-rotate.cc:415-422 with a == 0)
+        rot0 = peaks[0]
+        # angle 0 proper: raw input peak over every read block incl.
+        # silence pad (cli/phase-rotate.cc:413-414)
+        peaks = peaks.at[0].set(jnp.max(jnp.abs(xc)))
+        return peaks, rot0
+
+    flat_b0 = b0.reshape(-1, b0.shape[-1])
+    flat_b1 = b1.reshape(-1, b1.shape[-1])
+    flat_h = h.reshape(-1, h.shape[-1])
+    flat_x = x_pad.reshape(-1, x_pad.shape[-1])
+    peaks, rot0 = jax.vmap(one_channel)(flat_b0, flat_b1, flat_h, flat_x)
+    return (
+        peaks.reshape(*x.shape[:-1], MAXSAMPLE),
+        rot0.reshape(x.shape[:-1]),
+    )
+
+
+def sweep_peaks(
+    audio,
+    geom: OfflineGeometry,
+    chunk: int = 65536,
+) -> jnp.ndarray:
+    """Peak level per candidate rotation angle.
+
+    Args:
+      audio: (..., n) float32 — channels/files in leading dims.
+      geom: offline geometry (CLI block size).
+      chunk: matmul tile length.
+
+    Returns (..., MAXSAMPLE) float32: ``peaks[..., a]`` is the digital peak
+    after rotating by ``a`` half-degrees — the complete peak table that the
+    CLI accumulates per block and per angle (cli/phase-rotate.cc:409-428),
+    for *all* 360 table entries in one pass.
+    """
+    x = jnp.asarray(audio, jnp.float32)
+    return _sweep_impl(x, geom, chunk)[0]
+
+
+def sweep_peaks_aux(audio, geom: OfflineGeometry, chunk: int = 65536):
+    """Like :func:`sweep_peaks` but also returns the (...,) "rotated at 0"
+    aux peak needed for bit-exact fine-pass parity (see minimize.py)."""
+    x = jnp.asarray(audio, jnp.float32)
+    return _sweep_impl(x, geom, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("geom",))
+def _apply_impl(x, angle_units, geom: OfflineGeometry):
+    parsiz = geom.parsiz
+    firlen = geom.firlen
+    n = x.shape[-1]
+    n_blocks = _offline_frames(x, parsiz)
+    total = (n_blocks + 1) * parsiz
+    pad = n_blocks * parsiz - n
+    x_pad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad + parsiz)])
+
+    h = hilbert_offline(x, geom)
+    # y[m] = ca*x[m - firlen] + sa*h[m]; file output = y[firlen : firlen+n]
+    # (write path skips blksiz/2 frames, cli/phase-rotate.cc:963-991)
+    sin_t, cos_t = _lut_lookup(angle_units)
+    x_del = x_pad[..., : total - firlen]
+    x_del = jnp.pad(x_del, [(0, 0)] * (x.ndim - 1) + [(firlen, 0)])
+    y = cos_t[..., None] * x_del + sin_t[..., None] * h
+    return y[..., firlen : firlen + n]
+
+
+def _lut_lookup(angle_units):
+    from ..core.angles import sincos_lut
+
+    s, c = sincos_lut()
+    a = jnp.mod(jnp.asarray(angle_units) + MAXSAMPLE, MAXSAMPLE)
+    return s[a], c[a]
+
+
+def apply_angles(audio, angle_units, geom: OfflineGeometry) -> jnp.ndarray:
+    """Apply per-channel rotations with the CLI's offline engine semantics.
+
+    ``angle_units`` are integer half-degrees, broadcastable to the leading
+    dims of ``audio``; negative values wrap modulo 180 degrees exactly like
+    PhaseRotate::thr_apply (cli/phase-rotate.cc:463) — i.e. -10 deg applies
+    as 170 deg (the peak-equivalent negated waveform).
+
+    Returns the rotated file, same length, latency already compensated.
+    """
+    x = jnp.asarray(audio, jnp.float32)
+    return _apply_impl(x, jnp.asarray(angle_units, jnp.int32), geom)
