@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Headline benchmark: rotate-path throughput on one TPU chip.
+"""Headline benchmarks on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Two driver-set targets (BASELINE.json):
+  1. rotate path  >= 1000x realtime, mono 48 kHz, per chip
+  2. batched min-peak angle search >= 100 files/s (10 s files)
 
-Baseline target (BASELINE.json): >= 1000x realtime mono 48 kHz rotation per
-chip.  vs_baseline is the achieved realtime multiple divided by 1000.
+Prints ONE JSON line; `value` is the rotate realtime multiple and
+`vs_baseline` is the *minimum* of the two target ratios, so it only reads
+>= 1 when both targets are met.  Timing forces a scalar readback per
+iteration because block_until_ready does not guarantee completion on the
+remote-tunnel TPU backend.
 """
 
 import json
@@ -16,40 +20,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def bench_rotate(rate=48000, seconds=60, batch=16, iters=5):
     from phaserotate_tpu.ops import rotate_fir
 
-    rate = 48000
-    seconds = 60
-    batch = 16
     n = rate * seconds
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
     degs = jnp.asarray(rng.uniform(-180, 180, batch).astype(np.float32))
-
-    # Reduce to a scalar and fetch it each iteration: on the remote-tunnel
-    # TPU backend, block_until_ready alone does not guarantee completion,
-    # so honest timing requires a readback.
     run = jax.jit(lambda x, d: jnp.sum(rotate_fir(x, d, rate=rate)))
-
-    float(run(x, degs))  # compile + warm up
-
-    iters = 5
-    # distinct angle vectors per iteration so no result can be reused
+    float(run(x, degs))  # compile + warm
     t0 = time.perf_counter()
     for i in range(iters):
-        float(run(x, degs + float(i)))
+        float(run(x, degs + float(i)))  # distinct angles defeat caching
     dt = (time.perf_counter() - t0) / iters
+    return batch * n / dt / rate  # x realtime
 
-    samples_per_sec = batch * n / dt
-    realtime_x = samples_per_sec / rate
+
+def bench_search(rate=48000, seconds=10, batch=256):
+    from phaserotate_tpu.core.sizes import OfflineGeometry
+    from phaserotate_tpu.search.sweep import _sweep_impl
+
+    geom = OfflineGeometry(blksiz=8192)
+    n = rate * seconds
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(0.5 * rng.standard_normal((batch, n)).astype(np.float32))
+    f = jax.jit(lambda x: jnp.sum(_sweep_impl(x, geom, 2048)[0]))
+    float(f(x))  # compile + warm
+    t0 = time.perf_counter()
+    float(f(x + 0.01))
+    dt = time.perf_counter() - t0
+    return batch / dt  # files per second
+
+
+def main():
+    rt = bench_rotate()
+    fps = bench_search()
     print(
         json.dumps(
             {
-                "metric": "rotate_realtime_multiple_mono48k",
-                "value": round(realtime_x, 1),
+                "metric": "rotate_x_realtime_mono48k (search_files_per_s="
+                + str(round(fps, 1))
+                + ")",
+                "value": round(rt, 1),
                 "unit": "x_realtime_per_chip",
-                "vs_baseline": round(realtime_x / 1000.0, 3),
+                "vs_baseline": round(min(rt / 1000.0, fps / 100.0), 3),
             }
         )
     )

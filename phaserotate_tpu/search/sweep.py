@@ -4,9 +4,9 @@ The reference CLI walks the file block by block, computes the Hilbert
 transform once per block, then serially evaluates ~720 candidate angles per
 block with SIMD peak scans (cli/phase-rotate.cc:389-428).  Here the whole
 file's Hilbert signal is computed in one batched partitioned convolution and
-*all* candidate angles are evaluated together as a tiled (n, 2) x (2, 360)
-MXU matmul with a fused abs-max reduction — no serial angle loop, no serial
-block loop.
+*all* candidate angles are evaluated together by the fused Pallas
+rotate+peak kernel (kernels/rotate_peak.py) — no serial angle loop, no
+serial block loop, no (samples x angles) materialization.
 
 Alignment map (derived from cli/phase-rotate.cc:181-232, 389-428):
 
@@ -68,6 +68,8 @@ def _sweep_impl(
     geom: OfflineGeometry,
     chunk: int,
 ) -> jnp.ndarray:
+    from ..kernels.rotate_peak import rotate_peak_sweep_kernel
+
     parsiz = geom.parsiz
     firlen = geom.firlen
     n_blocks = _offline_frames(x, parsiz)
@@ -84,52 +86,28 @@ def _sweep_impl(
 
     cs = all_angle_cos_sin()  # (2, 360)
 
-    def one_channel(b0c, b1c, hc, xc):
-        n = b0c.shape[-1]
-        n_chunks = -(-n // chunk)
-        padn = n_chunks * chunk - n
-        s = jnp.stack(
-            [jnp.pad(b0c, (0, padn)), jnp.pad(b1c, (0, padn))], axis=-1
-        ).reshape(n_chunks, chunk, 2)
+    # fused Pallas sweep: every angle x every sample, batched over all
+    # leading dims in one kernel launch
+    peaks = rotate_peak_sweep_kernel(b0, b1, cs, tile_len=chunk)
 
-        def body(carry, tile):
-            prod = jnp.dot(
-                tile, cs, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return jnp.maximum(carry, jnp.max(jnp.abs(prod), axis=0)), None
-
-        peaks, _ = jax.lax.scan(
-            body, jnp.zeros((MAXSAMPLE,), jnp.float32), s
-        )
-        # start-block region: |sin| * max|h[firlen:parsiz]|
-        # (cli/phase-rotate.cc:418-419)
-        h_start = jnp.max(jnp.abs(hc[firlen:parsiz]))
-        peaks = jnp.maximum(peaks, jnp.abs(cs[1]) * h_start)
-        # aux: the "rotated by 0" peak (max|b0| over the aligned region) —
-        # what a fine window crossing 360 writes into table slot 0 via the
-        # non-special-cased path (cli/phase-rotate.cc:415-422 with a == 0)
-        rot0 = peaks[0]
-        # angle 0 proper: raw input peak over every read block incl.
-        # silence pad (cli/phase-rotate.cc:413-414)
-        peaks = peaks.at[0].set(jnp.max(jnp.abs(xc)))
-        return peaks, rot0
-
-    flat_b0 = b0.reshape(-1, b0.shape[-1])
-    flat_b1 = b1.reshape(-1, b1.shape[-1])
-    flat_h = h.reshape(-1, h.shape[-1])
-    flat_x = x_pad.reshape(-1, x_pad.shape[-1])
-    peaks, rot0 = jax.vmap(one_channel)(flat_b0, flat_b1, flat_h, flat_x)
-    return (
-        peaks.reshape(*x.shape[:-1], MAXSAMPLE),
-        rot0.reshape(x.shape[:-1]),
-    )
+    # start-block region: |sin| * max|h[firlen:parsiz]|
+    # (cli/phase-rotate.cc:418-419)
+    h_start = jnp.max(jnp.abs(h[..., firlen:parsiz]), axis=-1)
+    peaks = jnp.maximum(peaks, jnp.abs(cs[1]) * h_start[..., None])
+    # aux: the "rotated by 0" peak (max|b0| over the aligned region) —
+    # what a fine window crossing 360 writes into table slot 0 via the
+    # non-special-cased path (cli/phase-rotate.cc:415-422 with a == 0)
+    rot0 = peaks[..., 0]
+    # angle 0 proper: raw input peak over every read block incl.
+    # silence pad (cli/phase-rotate.cc:413-414)
+    peaks = peaks.at[..., 0].set(jnp.max(jnp.abs(x_pad), axis=-1))
+    return peaks, rot0
 
 
 def sweep_peaks(
     audio,
     geom: OfflineGeometry,
-    chunk: int = 65536,
+    chunk: int = 2048,
 ) -> jnp.ndarray:
     """Peak level per candidate rotation angle.
 
@@ -147,7 +125,7 @@ def sweep_peaks(
     return _sweep_impl(x, geom, chunk)[0]
 
 
-def sweep_peaks_aux(audio, geom: OfflineGeometry, chunk: int = 65536):
+def sweep_peaks_aux(audio, geom: OfflineGeometry, chunk: int = 2048):
     """Like :func:`sweep_peaks` but also returns the (...,) "rotated at 0"
     aux peak needed for bit-exact fine-pass parity (see minimize.py)."""
     x = jnp.asarray(audio, jnp.float32)
