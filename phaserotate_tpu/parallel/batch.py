@@ -1,0 +1,194 @@
+"""Sharded batch processing: fleet rotation and distributed angle search.
+
+Two parallelization regimes (SURVEY.md §5 "distributed communication
+backend"):
+
+* **files axis** (data parallel): a batch of stems sharded over the mesh,
+  every device sweeping/rotating its own files — the TPU replacement for
+  the reference's thread-per-channel fan-out.  No collectives; XLA's
+  sharding propagation keeps everything local.
+
+* **samples axis** (sequence parallel): one long file sharded across
+  devices.  The partitioned convolution needs a ``parsiz``-sample left
+  halo from the neighboring shard — fetched with one ``ppermute`` hop over
+  ICI — and the per-angle peak table is combined with ``pmax``, replacing
+  the reference's thread-join + std::max reduction
+  (cli/phase-rotate.cc:295-298).  This is how hour-long masters are
+  analyzed at O(shard) memory per chip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.angles import MAXSAMPLE, all_angle_cos_sin
+from ..core.fir import offline_fir_spectrum
+from ..core.sizes import OfflineGeometry
+from ..kernels.rotate_peak import rotate_peak_sweep_kernel
+from ..ops.convolve import partitioned_convolve
+from ..ops.rotate import rotate_fir
+from ..search.minimize import SearchResult, select_min_peak_angles
+from ..search.sweep import _sweep_impl
+
+__all__ = [
+    "batch_rotate",
+    "batch_sweep_peaks",
+    "batch_find_min_peak_angles",
+    "sharded_sweep_peaks",
+]
+
+
+def batch_rotate(audio, degrees, mesh: Mesh, rate: float = 48000.0):
+    """Rotate a (files, ..., n) batch at per-file angles, files-sharded.
+
+    Pure data parallelism: XLA keeps every file's FFTs on its own device.
+    """
+    x = jnp.asarray(audio, jnp.float32)
+    d = jnp.asarray(degrees, jnp.float32)
+    xspec = P("files", *([None] * (x.ndim - 1)))
+    dspec = P("files", *([None] * (d.ndim - 1)))
+    f = jax.jit(
+        functools.partial(rotate_fir, rate=rate),
+        in_shardings=(NamedSharding(mesh, xspec), NamedSharding(mesh, dspec)),
+        out_shardings=NamedSharding(mesh, xspec),
+    )
+    return f(x, d)
+
+
+def batch_sweep_peaks(audio, geom: OfflineGeometry, mesh: Mesh,
+                      chunk: int = 2048):
+    """Peak tables for a (files, ..., n) batch, files-sharded.
+
+    Returns (tables, rot0) exactly like search.sweep_peaks_aux, computed
+    device-local per file shard.
+    """
+    x = jnp.asarray(audio, jnp.float32)
+    xspec = P("files", *([None] * (x.ndim - 1)))
+    f = jax.jit(
+        lambda x: _sweep_impl(x, geom, chunk),
+        in_shardings=(NamedSharding(mesh, xspec),),
+        out_shardings=(
+            NamedSharding(mesh, P("files", *([None] * (x.ndim - 1)))),
+            NamedSharding(mesh, P("files", *([None] * (x.ndim - 2)))),
+        ),
+    )
+    return f(x)
+
+
+def batch_find_min_peak_angles(
+    audio,
+    geom: OfflineGeometry,
+    mesh: Mesh,
+    stride: int = 24,
+    link_channels: bool = False,
+) -> list:
+    """Full fleet search: sharded sweep on device, CLI-parity selection on
+    host per file.
+
+    Args:
+      audio: (files, channels, n) float32.
+
+    Returns a list of :class:`SearchResult`, one per file.
+    """
+    tables, rot0 = batch_sweep_peaks(audio, geom, mesh)
+    tables = np.asarray(tables)
+    rot0 = np.asarray(rot0)
+    return [
+        select_min_peak_angles(
+            tables[i], stride=stride, link_channels=link_channels,
+            rot0=rot0[i])
+        for i in range(tables.shape[0])
+    ]
+
+
+def sharded_sweep_peaks(
+    x,
+    geom: OfflineGeometry,
+    mesh: Mesh,
+    axis: str = "samples",
+    chunk: int = 2048,
+):
+    """Angle sweep of ONE long signal sharded along its sample axis.
+
+    Implements the whole-file evaluation map of search/sweep.py with the
+    stream positions split across devices:
+
+    * each device holds ``S`` output positions and fetches a
+      ``parsiz``-sample left halo from its neighbor via ``ppermute``
+      (device 0 receives zeros — exactly the pre-file zero history);
+    * device 0 masks its first ``parsiz`` positions out of the aligned
+      sweep (the reference's start block pairs them with zeros) and
+      contributes the start-region term instead;
+    * per-device partial tables reduce with ``pmax`` — every device
+      returns the full replicated (MAXSAMPLE,) table.
+
+    The input must be padded so the flush block is included:
+    total = (ceil(n/parsiz)+1)*parsiz, divisible by the mesh axis size.
+    """
+    parsiz = geom.parsiz
+    firlen = geom.firlen
+    n_dev = mesh.shape[axis]
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    n_blocks = -(-n // parsiz)
+    total = (n_blocks + 1) * parsiz
+    # pad total up so each device owns a whole number of parsiz blocks
+    per_dev_blocks = -(-(total // parsiz) // n_dev)
+    total = per_dev_blocks * parsiz * n_dev
+    x_pad = jnp.pad(x, (0, total - n))
+    raw_peak = jnp.max(jnp.abs(x_pad))  # angle-0 table entry
+
+    spectra = offline_fir_spectrum(geom)[None]
+    cs = all_angle_cos_sin()
+
+    def shard_fn(x_local):  # (S,) local shard
+        S = x_local.shape[-1]
+        idx = jax.lax.axis_index(axis)
+        # left halo: last parsiz samples of the left neighbor
+        left_tail = x_local[-parsiz:]
+        halo = jax.lax.ppermute(
+            left_tail, axis, [(i, i + 1) for i in range(n_dev - 1)]
+        )  # device 0 gets zeros
+        xa = jnp.concatenate([halo, x_local])  # (parsiz + S,)
+
+        # h[m] for local m: linear conv of xa sliced to the owned range
+        h_full = partitioned_convolve(xa, spectra, parsiz)
+        h_local = h_full[parsiz : parsiz + S]
+        b0_local = xa[parsiz - firlen : parsiz - firlen + S]
+
+        # device 0: first parsiz positions belong to the start block -> out
+        # of the aligned sweep (they pair with pre-file zeros)
+        mask = jnp.where(
+            (idx == 0) & (jnp.arange(S) < parsiz), 0.0, 1.0
+        ).astype(jnp.float32)
+        peaks = rotate_peak_sweep_kernel(
+            b0_local * mask, h_local * mask, cs, tile_len=chunk)
+
+        # start-region contribution (device 0 only):
+        # |sin| * max|h[firlen:parsiz]|
+        h_start = jnp.where(
+            idx == 0, jnp.max(jnp.abs(h_local[firlen:parsiz])), 0.0)
+        peaks = jnp.maximum(peaks, jnp.abs(cs[1]) * h_start)
+
+        peaks = jax.lax.pmax(peaks, axis)
+        rot0 = peaks[0]
+        peaks = peaks.at[0].set(
+            jax.lax.pmax(jnp.max(jnp.abs(x_local)), axis))
+        return peaks, rot0
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    return fn(x_pad)

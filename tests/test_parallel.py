@@ -1,0 +1,84 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from phaserotate_tpu.core.angles import MAXSAMPLE
+from phaserotate_tpu.core.sizes import OfflineGeometry
+from phaserotate_tpu.ops import rotate_fir
+from phaserotate_tpu.parallel import (
+    batch_find_min_peak_angles,
+    batch_rotate,
+    batch_sweep_peaks,
+    file_mesh,
+    shard_files,
+    sharded_sweep_peaks,
+)
+from phaserotate_tpu.search import find_min_peak_angle, sweep_peaks_aux
+
+GEOM = OfflineGeometry(blksiz=1024)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return file_mesh(8)
+
+
+def _signals(rng, files, n):
+    t = np.arange(n) / 48000.0
+    return np.stack([
+        (0.6 * np.sin(2 * np.pi * (300 + 37 * i) * t + i)
+         + 0.4 * np.sin(2 * np.pi * (700 + 11 * i) * t)).astype(np.float32)
+        for i in range(files)
+    ])
+
+
+def test_batch_rotate_matches_single(rng, mesh):
+    x = _signals(rng, 8, 4096)
+    degs = np.linspace(-120, 120, 8).astype(np.float32)
+    y = np.asarray(batch_rotate(x, degs, mesh))
+    for i in range(8):
+        want = np.asarray(rotate_fir(x[i], degs[i], rate=48000.0))
+        np.testing.assert_allclose(y[i], want, atol=1e-5)
+
+
+def test_batch_sweep_matches_single(rng, mesh):
+    x = _signals(rng, 8, 3000)[:, None, :]  # (files, 1 chn, n)
+    tables, rot0 = batch_sweep_peaks(x, GEOM, mesh)
+    tables = np.asarray(tables)
+    for i in range(8):
+        want, want_r = sweep_peaks_aux(x[i], GEOM)
+        np.testing.assert_allclose(tables[i], np.asarray(want), atol=1e-5)
+
+
+def test_batch_find_min_matches_single(rng, mesh):
+    x = _signals(rng, 8, 3000)[:, None, :]
+    results = batch_find_min_peak_angles(x, GEOM, mesh)
+    assert len(results) == 8
+    for i in range(8):
+        want = find_min_peak_angle(x[i], rate=48000, blksiz=GEOM.blksiz)
+        assert results[i].angles_units == want.angles_units
+
+
+def test_sharded_sweep_matches_unsharded(rng, mesh):
+    """Sequence-parallel sweep (halo exchange + pmax) == single-device
+    sweep of the same signal."""
+    n = 6 * GEOM.parsiz  # 6 blocks -> with flush 7, padded to 8 shards
+    x = _signals(rng, 1, n)[0]
+    peaks_sh, rot0_sh = sharded_sweep_peaks(x, GEOM, mesh, axis="files")
+    want, want_rot0 = sweep_peaks_aux(x[None], GEOM)
+    np.testing.assert_allclose(
+        np.asarray(peaks_sh), np.asarray(want)[0], atol=2e-5)
+    np.testing.assert_allclose(
+        float(rot0_sh), float(np.asarray(want_rot0)[0]), atol=2e-5)
+
+
+def test_sharded_sweep_long_signal(rng, mesh):
+    n = 40000  # not block aligned
+    x = _signals(rng, 1, n)[0]
+    peaks_sh, _ = sharded_sweep_peaks(x, GEOM, mesh, axis="files")
+    want, _ = sweep_peaks_aux(x[None], GEOM)
+    np.testing.assert_allclose(
+        np.asarray(peaks_sh), np.asarray(want)[0], atol=2e-5)
