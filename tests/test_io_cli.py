@@ -1,0 +1,138 @@
+"""WAV I/O round trips and the phase-rotate compatible CLI."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from phaserotate_tpu.io.wav import WavMetadata, read_wav, write_wav
+
+
+def tone(n=20000, rate=44100, chans=2):
+    t = np.arange(n) / rate
+    return np.stack([
+        (0.6 * np.sin(2 * np.pi * 500 * t + c)
+         + 0.3 * np.sin(2 * np.pi * 1100 * t)).astype(np.float32)
+        for c in range(chans)
+    ])
+
+
+def test_wav_float_roundtrip(tmp_path):
+    x = tone()
+    p = tmp_path / "a.wav"
+    write_wav(str(p), x, 44100)
+    y, rate, meta = read_wav(str(p))
+    assert rate == 44100
+    np.testing.assert_array_equal(y, x)
+
+
+@pytest.mark.parametrize("bits", [16, 24, 32])
+def test_wav_pcm_roundtrip(tmp_path, bits):
+    x = tone() * 0.8
+    p = tmp_path / "p.wav"
+    write_wav(str(p), x, 48000, bits=bits, float_format=False)
+    y, rate, _ = read_wav(str(p))
+    tol = 2.0 ** -(bits - 1)
+    assert np.abs(y - x).max() <= tol * 1.01
+
+
+def test_wav_metadata_roundtrip(tmp_path):
+    x = tone(n=4000)
+    meta = WavMetadata(
+        info={b"INAM": "My Track", b"IART": "An Artist"},
+        cues=b"\x01\x00\x00\x00" + b"\x00" * 24,
+        bext=b"B" * 602,
+    )
+    p = tmp_path / "m.wav"
+    write_wav(str(p), x, 44100, meta)
+    _, _, got = read_wav(str(p))
+    assert got.info[b"INAM"] == "My Track"
+    assert got.info[b"IART"] == "An Artist"
+    assert got.cues == meta.cues
+    assert got.bext == meta.bext
+
+
+def test_wav_mono_1d(tmp_path):
+    x = tone(chans=1)[0]
+    p = tmp_path / "mono.wav"
+    write_wav(str(p), x, 22050)
+    y, rate, _ = read_wav(str(p))
+    assert y.shape == (1, len(x))
+
+
+def run_cli(args):
+    from phaserotate_tpu import cli
+
+    return cli.main(args)
+
+
+def test_cli_analysis_prints_result(tmp_path, capsys):
+    p = tmp_path / "in.wav"
+    write_wav(str(p), tone(n=12000), 44100)
+    rc = run_cli([str(p), "-f", "1024"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "# Result -- Minimize digital peak" in out
+    assert "Channel:  1 Phase:" in out
+    assert "Channel:  2 Phase:" in out
+
+
+def test_cli_apply_roundtrip(tmp_path, capsys):
+    src = tmp_path / "in.wav"
+    dst = tmp_path / "out.wav"
+    x = tone(n=8192)
+    meta = WavMetadata(info={b"INAM": "Keep Me"})
+    write_wav(str(src), x, 44100, meta)
+    rc = run_cli(["-a", "35", str(src), str(dst), "-f", "1024"])
+    assert rc == 0
+    y, rate, got_meta = read_wav(str(dst))
+    assert y.shape == x.shape
+    assert got_meta.info[b"INAM"] == "Keep Me"
+    # energy preserved (rotation property)
+    assert np.sum(y**2) == pytest.approx(np.sum(x**2), rel=5e-2)
+
+
+def test_cli_apply_per_channel_angles(tmp_path):
+    src = tmp_path / "in.wav"
+    dst = tmp_path / "out.wav"
+    x = tone(n=6000)
+    write_wav(str(src), x, 44100)
+    assert run_cli(["-a", "10,20", str(src), str(dst), "-f", "1024"]) == 0
+    # zero rotation on both channels reproduces input
+    dst2 = tmp_path / "out2.wav"
+    assert run_cli(["-a", "0", str(src), str(dst2), "-f", "1024"]) == 0
+    y, _, _ = read_wav(str(dst2))
+    np.testing.assert_allclose(y, x, atol=2e-6)
+
+
+def test_cli_validation_errors(tmp_path):
+    p = tmp_path / "in.wav"
+    write_wav(str(p), tone(n=4000), 44100)
+    with pytest.raises(SystemExit):
+        run_cli(["-s", "7", str(p)])  # bad stride
+    with pytest.raises(SystemExit):
+        run_cli(["-f", "100", str(p)])  # fftlen out of bounds
+    with pytest.raises(SystemExit):
+        run_cli(["-a", "35", str(p)])  # -a without out-file
+    with pytest.raises(SystemExit):
+        run_cli(["-a", "999", str(p), str(tmp_path / "o.wav")])  # bad angle
+    with pytest.raises(SystemExit):
+        run_cli([])  # missing file
+
+
+def test_cli_verbose_gnuplot(tmp_path, capsys):
+    p = tmp_path / "in.wav"
+    write_wav(str(p), tone(n=12000), 44100)
+    rc = run_cli(["-vv", "-f", "1024", str(p)])
+    captured = capsys.readouterr()
+    assert rc == 0
+    # gnuplot data on stdout, logs on stderr (cli/phase-rotate.cc:704)
+    assert "# Angle mono-peak chn-1 chn-2" in captured.out
+    assert "Process block-size 1024" in captured.err
+    rows = [l for l in captured.out.splitlines()
+            if l and l[0].isdigit()]
+    assert len(rows) >= MAXSAMPLE_ROWS_MIN
+
+
+MAXSAMPLE_ROWS_MIN = 15  # coarse rows (360/24) at default stride
