@@ -1,0 +1,221 @@
+"""Plugin lifecycle: the host-facing runtime shell.
+
+Re-creates the LV2 plugin ABI surface (src/phaserotate.c:860-893 —
+instantiate / connect_port / activate / run / cleanup) as a Python class
+driving the TPU engine, so an audio host (our standalone hostapp, tests,
+or an external bridge) gets exactly the reference's contract:
+
+* URI-based mono/stereo dispatch (src/phaserotate.c:233-240);
+* option-driven UI scale, clamped 1..2 (:261-276);
+* port connect demux into (angle, in, out) triplets (:430-448);
+* allocation-free steady-state run(): all device state pre-built at
+  instantiate, run() only stages samples and dispatches jitted steps;
+* latency reporting, in-place buffer handling (:780-788);
+* control/notify message queues carrying the protocol of protocol.py;
+* per-channel metering with UI level notifications (:741-771).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.angles import degrees_to_turns
+from ..core.sizes import stream_geometry_for_rate
+from ..meter import (
+    MeterConfig,
+    init_meter_state,
+    meter_block,
+    meter_falloff,
+    reset_peaks,
+)
+from ..stream.engine import init_state, stream_step
+from .protocol import LevelsMsg, Message, ResetPeaks, StateMsg, UiOff, UiOn
+from .uris import (
+    MAX_CHANNELS,
+    PLUGIN_URI,
+    PLUGIN_URI_STEREO,
+    PortIndex,
+    port_channel,
+    port_role,
+)
+
+__all__ = ["PhaseRotatePlugin", "descriptors"]
+
+
+def descriptors() -> tuple:
+    """The two plugin URIs, in descriptor order
+    (src/phaserotate.c:879-893)."""
+    return (PLUGIN_URI, PLUGIN_URI_STEREO)
+
+
+class PhaseRotatePlugin:
+    """One plugin instance (the reference's ``FFTiProc``)."""
+
+    def __init__(self, uri: str, rate: float,
+                 options: Optional[Dict[str, float]] = None):
+        if uri == PLUGIN_URI:
+            self.n_chn = 1
+        elif uri == PLUGIN_URI_STEREO:
+            self.n_chn = 2
+        else:
+            raise ValueError(f"unknown plugin URI {uri!r}")
+
+        self.rate = float(rate)
+        self.geom = stream_geometry_for_rate(rate)
+        self.latency = self.geom.latency
+
+        self.ui_scale = 1.0
+        if options and "ui_scale" in options:
+            self.ui_scale = float(np.clip(options["ui_scale"], 1.0, 2.0))
+        self.link = False
+        self.ui_active = False
+        self._send_state = False
+
+        self._mtr_cfg = MeterConfig(rate=self.rate, latency=self.latency)
+        self._falloff = None
+        self._fpp = 0
+
+        # ports
+        self._control: Optional[List[Message]] = None
+        self._notify: Optional[List[Message]] = None
+        self._latency_port: Optional[np.ndarray] = None
+        self._angle = [None] * MAX_CHANNELS
+        self._in = [None] * MAX_CHANNELS
+        self._out = [None] * MAX_CHANNELS
+
+        self._init_dsp()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def _init_dsp(self) -> None:
+        parsiz = self.geom.parsiz
+        self._state = [init_state(self.geom) for _ in range(self.n_chn)]
+        self._mtr = [init_meter_state(self._mtr_cfg)
+                     for _ in range(self.n_chn)]
+        self._offset = 0
+        self._cur_in = np.zeros((self.n_chn, parsiz), np.float32)
+        self._cur_out = np.zeros((self.n_chn, parsiz), np.float32)
+
+    def connect_port(self, port: int, data) -> None:
+        """src/phaserotate.c:409-448."""
+        if port == PortIndex.ATOM_CONTROL:
+            self._control = data
+            return
+        if port == PortIndex.ATOM_NOTIFY:
+            self._notify = data
+            return
+        if port == PortIndex.LATENCY:
+            self._latency_port = data
+            return
+        chn = port_channel(port)
+        if chn < 0 or chn >= MAX_CHANNELS:
+            return
+        role = port_role(port)
+        if role == "angle":
+            self._angle[chn] = data
+        elif role == "input":
+            self._in[chn] = data
+        else:
+            self._out[chn] = data
+
+    def activate(self) -> None:
+        """Reset all streaming/meter state (src/phaserotate.c:511-520)."""
+        self._init_dsp()
+
+    def cleanup(self) -> None:
+        """No manual teardown needed — state is GC'd; kept for ABI
+        parity with src/phaserotate.c:179-223."""
+
+    # -- run ---------------------------------------------------------------
+
+    def _handle_control(self) -> None:
+        """src/phaserotate.c:800-830."""
+        assert self._control is not None
+        for msg in self._control:
+            if isinstance(msg, UiOff):
+                self.ui_active = False
+            elif isinstance(msg, UiOn):
+                self.ui_active = True
+                self._send_state = True
+            elif isinstance(msg, ResetPeaks):
+                self._mtr = [reset_peaks(m) for m in self._mtr]
+            elif isinstance(msg, StateMsg):
+                self.ui_scale = msg.uiscale
+                self.link = msg.link
+        self._control.clear()
+
+    def run(self, n_samples: int) -> None:
+        """Process one host block (src/phaserotate.c:774-852)."""
+        # forward no-inplace buffers
+        for c in range(self.n_chn):
+            if self._in[c] is not self._out[c]:
+                self._out[c][:n_samples] = self._in[c][:n_samples]
+
+        if self._latency_port is not None:
+            self._latency_port[0] = self.latency
+
+        if self._control is None or self._notify is None:
+            # latency measurement callback (src/phaserotate.c:790-793)
+            return
+
+        self._handle_control()
+
+        if self._fpp != n_samples:
+            self._falloff = meter_falloff(self.rate, n_samples)
+            self._fpp = n_samples
+
+        entry_offset = self._offset
+        for c in range(self.n_chn):
+            self._process_channel(c, n_samples, entry_offset)
+        self._offset = (entry_offset + n_samples) % self.geom.parsiz
+
+        if self.ui_active and self._send_state:
+            self._send_state = False
+            self._notify.append(
+                StateMsg(uiscale=self.ui_scale, link=self.link))
+
+    def _process_channel(self, c: int, n: int, entry_offset: int) -> None:
+        """src/phaserotate.c:538-772 with the DSP on device."""
+        geom = self.geom
+        parsiz = geom.parsiz
+        buf = self._out[c]
+        target_deg = float(self._angle[c][0]) if self._angle[c] is not None \
+            else 0.0
+        in_copy = np.array(buf[:n], np.float32)  # raw input (pre-process)
+
+        target_turns = float(degrees_to_turns(target_deg))
+        angle_changed = target_turns != float(self._state[c].angle)
+
+        # block staging identical to the reference's offset bookkeeping;
+        # every channel walks the same offset trajectory per run
+        pos = 0
+        offset = entry_offset
+        while pos < n:
+            ns = min(parsiz - offset, n - pos)
+            self._cur_in[c, offset : offset + ns] = buf[pos : pos + ns]
+            buf[pos : pos + ns] = self._cur_out[c, offset : offset + ns]
+            offset += ns
+            pos += ns
+            if offset == parsiz:
+                offset = 0
+                self._state[c], y = stream_step(
+                    self._state[c], self._cur_in[c], target_deg, geom)
+                self._cur_out[c] = np.asarray(y)
+
+        # metering (src/phaserotate.c:573-611, 728-771)
+        self._mtr[c], lv = meter_block(
+            self._mtr[c], in_copy, np.asarray(buf[:n], np.float32),
+            self._falloff, self._mtr_cfg.hold_samples, angle_changed)
+
+        if self.ui_active:
+            self._notify.append(LevelsMsg(
+                channel=c,
+                in_cur=float(lv.in_cur), in_mom=float(lv.in_mom),
+                in_peak=float(lv.in_peak),
+                out_cur=float(lv.out_cur), out_mom=float(lv.out_mom),
+                out_peak=float(lv.out_peak),
+                diff_cur=float(lv.diff_cur), diff_min=float(lv.diff_min),
+                diff_max=float(lv.diff_max),
+            ))

@@ -1,0 +1,146 @@
+"""LV2 TTL metadata generation.
+
+Emits the Turtle bundle metadata equivalent to the reference's generated
+TTL (lv2ttl/phaserotate.ports.in, phaserotate.mono.in, phaserotate.
+stereo.in, manifest.ttl.in): the same port declarations — atom
+control/notify with 4096-byte minimum size, reportsLatency control output
+bounded at 8192, per-channel angle ControlPort -180..180 default 0 with 9
+scalePoints and 721 rangeSteps, audio in/out pairs — and the
+hardRTCapable/urid:map feature lines.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from .uris import PLUGIN_URI, PLUGIN_URI_STEREO
+
+__all__ = ["manifest_ttl", "plugin_ttl", "write_bundle"]
+
+_PREFIXES = """@prefix atom:  <http://lv2plug.in/ns/ext/atom#> .
+@prefix doap:  <http://usefulinc.com/ns/doap#> .
+@prefix foaf:  <http://xmlns.com/foaf/0.1/> .
+@prefix lv2:   <http://lv2plug.in/ns/lv2core#> .
+@prefix pprops: <http://lv2plug.in/ns/ext/port-props#> .
+@prefix rdfs:  <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix rsz:   <http://lv2plug.in/ns/ext/resize-port#> .
+@prefix units: <http://lv2plug.in/ns/extensions/units#> .
+@prefix urid:  <http://lv2plug.in/ns/ext/urid#> .
+"""
+
+_SCALE_POINTS = [
+    (-180, "-180 deg"), (-135, "-135 deg"), (-90, "-90 deg"),
+    (-45, "-45 deg"), (0, "0 deg"), (45, "+45 deg"), (90, "+90 deg"),
+    (135, "+135 deg"), (180, "+180 deg"),
+]
+
+
+def _fixed_ports() -> str:
+    return """	lv2:port [
+		a atom:AtomPort, lv2:InputPort ;
+		atom:bufferType atom:Sequence ;
+		lv2:index 0 ;
+		lv2:symbol "control" ;
+		lv2:name "Control" ;
+		rsz:minimumSize 4096 ;
+	] , [
+		a atom:AtomPort, lv2:OutputPort ;
+		atom:bufferType atom:Sequence ;
+		lv2:index 1 ;
+		lv2:symbol "notify" ;
+		lv2:name "Notify" ;
+		rsz:minimumSize 4096 ;
+	] , [
+		a lv2:ControlPort, lv2:OutputPort ;
+		lv2:index 2 ;
+		lv2:symbol "latency" ;
+		lv2:name "Signal Latency" ;
+		lv2:minimum 0 ;
+		lv2:maximum 8192 ;
+		lv2:portProperty lv2:reportsLatency, lv2:integer ;
+		units:unit units:frame ;
+	]"""
+
+
+def _channel_ports(chn: int, index0: int, suffix: str) -> str:
+    scale_points = " ,\n\t\t\t".join(
+        f'[ rdfs:label "{lbl}" ; rdf:value {val:.1f} ]'
+        for val, lbl in _SCALE_POINTS
+    )
+    return f""" , [
+		a lv2:InputPort, lv2:ControlPort ;
+		lv2:index {index0} ;
+		lv2:symbol "angle{suffix}" ;
+		lv2:name "Phase Angle{suffix}" ;
+		lv2:default 0.0 ;
+		lv2:minimum -180.0 ;
+		lv2:maximum 180.0 ;
+		lv2:scalePoint {scale_points} ;
+		pprops:rangeSteps 721 ;
+		units:unit units:degree ;
+	] , [
+		a lv2:AudioPort, lv2:InputPort ;
+		lv2:index {index0 + 1} ;
+		lv2:symbol "in{suffix}" ;
+		lv2:name "Audio Input{suffix}" ;
+	] , [
+		a lv2:AudioPort, lv2:OutputPort ;
+		lv2:index {index0 + 2} ;
+		lv2:symbol "out{suffix}" ;
+		lv2:name "Audio Output{suffix}" ;
+	]"""
+
+
+def plugin_ttl(version_minor: int = 0, version_micro: int = 0) -> str:
+    """Full plugin TTL for both mono and stereo variants."""
+    out = [_PREFIXES]
+    out.append("@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n")
+    for uri, n_chn, label in (
+        (PLUGIN_URI, 1, "Phase Rotate (TPU) Mono"),
+        (PLUGIN_URI_STEREO, 2, "Phase Rotate (TPU) Stereo"),
+    ):
+        ports = _fixed_ports()
+        for c in range(n_chn):
+            suffix = "" if n_chn == 1 else ("_L" if c == 0 else "_R")
+            ports += _channel_ports(c, 3 + 3 * c, suffix)
+        out.append(f"""
+<{uri}>
+	a lv2:Plugin, lv2:PhaserPlugin, doap:Project ;
+	doap:license <http://usefulinc.com/doap/licenses/gpl> ;
+	doap:name "{label}" ;
+	lv2:optionalFeature lv2:hardRTCapable ;
+	lv2:requiredFeature urid:map ;
+	lv2:minorVersion {version_minor} ;
+	lv2:microVersion {version_micro} ;
+{ports} .
+""")
+    return "".join(out)
+
+
+def manifest_ttl(binary: str = "phaserotate_tpu.so") -> str:
+    """Bundle manifest (lv2ttl/manifest.ttl.in equivalent)."""
+    lines = [
+        "@prefix lv2:  <http://lv2plug.in/ns/lv2core#> .",
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
+        "",
+    ]
+    for uri in (PLUGIN_URI, PLUGIN_URI_STEREO):
+        lines += [
+            f"<{uri}>",
+            "\ta lv2:Plugin ;",
+            f"\tlv2:binary <{binary}> ;",
+            "\trdfs:seeAlso <phaserotate_tpu.ttl> .",
+            "",
+        ]
+    return "\n".join(lines)
+
+
+def write_bundle(directory: str) -> None:
+    """Write manifest.ttl + phaserotate_tpu.ttl into ``directory``."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "manifest.ttl"), "w") as f:
+        f.write(manifest_ttl())
+    with open(os.path.join(directory, "phaserotate_tpu.ttl"), "w") as f:
+        f.write(plugin_ttl())

@@ -1,0 +1,112 @@
+"""GUI layer models + standalone host end-to-end."""
+
+import numpy as np
+import pytest
+
+from phaserotate_tpu.gui import (
+    DialModel,
+    LinkGroup,
+    UIClient,
+    deflect_delta,
+    deflect_meter,
+    faceplate_svg,
+    render_channel,
+)
+from phaserotate_tpu.gui.client import MeterValues
+from phaserotate_tpu.hostapp import StandaloneHost
+from phaserotate_tpu.io.wav import read_wav, write_wav
+from phaserotate_tpu.ops import rotate_fir
+
+
+def test_deflection_maps():
+    # -80 dBFS floor, +6 dBFS ceiling (gui/phaserotate.c:227-237)
+    assert deflect_meter(86, 0.0) == 0
+    assert deflect_meter(86, 3.0) == 86
+    assert deflect_meter(86, 1.0) == pytest.approx(80.0, abs=0.01)
+    # delta scale +-12 dB (gui/phaserotate.c:244-254)
+    assert deflect_delta(24, 0.1) == 0
+    assert deflect_delta(24, 4.5) == 24
+    assert deflect_delta(24, 1.0) == pytest.approx(12.0, abs=0.01)
+
+
+def test_dial_model_semantics():
+    d = DialModel()
+    d.set_value(33.33)
+    assert d.value == 33.5  # 0.5 deg quantization
+    d.set_value(0.4)
+    assert d.value == 0.0  # detent snap
+    d.set_value(190.0)
+    assert d.value == -170.0  # threesixty wrap
+    d.set_value(100.0)
+    d.scroll(1)
+    assert d.value == 105.0  # step 0.5 x scroll_mult 10
+    d.reset()
+    assert d.value == 0.0
+
+
+def test_link_group_mirrors_and_freezes():
+    writes = {0: [], 1: []}
+    dials = [DialModel(on_change=lambda v, c=c: writes[c].append(v))
+             for c in range(2)]
+    link = LinkGroup(dials)
+    dials[1].set_value(50.0)
+    assert dials[1].value == 50.0
+    link.set_active(True)
+    assert dials[1].value == dials[0].value  # immediate sync
+    dials[0].set_value(30.0)
+    assert dials[1].value == 30.0  # mirrored
+    dials[1].set_value(90.0)
+    assert dials[1].value == 30.0  # insensitive while linked
+    link.set_active(False)
+    dials[1].set_value(90.0)
+    assert dials[1].value == 90.0
+
+
+def test_render_smoke():
+    m = MeterValues(in_cur=0.5, in_mom=0.6, in_peak=0.9,
+                    out_cur=0.4, out_mom=0.5, out_peak=0.8,
+                    diff_cur=0.8, diff_min=0.7, diff_max=1.1)
+    text = render_channel(m, "ch0")
+    assert "in" in text and "out" in text and "[" in text
+    svg = faceplate_svg()
+    assert svg.startswith("<svg") and "-180" in svg.replace(">", " ")
+
+
+def test_host_end_to_end(tmp_path, rng):
+    """WAV through the standalone host == offline FIR rotation."""
+    rate = 48000
+    x = (0.5 * rng.standard_normal(6000)).astype(np.float32)
+    src = tmp_path / "in.wav"
+    dst = tmp_path / "out.wav"
+    write_wav(str(src), x, rate)
+
+    from phaserotate_tpu import hostapp
+
+    rc = hostapp.main([str(src), str(dst), "--angle", "0", "--block", "333"])
+    assert rc == 0
+    y, yrate, _ = read_wav(str(dst))
+    assert yrate == rate
+    assert y.shape[1] == len(x)
+    np.testing.assert_allclose(y[0], x, atol=1e-6)
+
+
+def test_host_rotation_and_ui(tmp_path, rng):
+    rate = 48000
+    n = 8192
+    x = (0.5 * rng.standard_normal(n)).astype(np.float32)
+    host = StandaloneHost(rate, 1, block=256)
+    host.set_angles(90.0)
+    host.ui.open()
+    outs = []
+    for pos in range(0, n, 256):
+        chunk = x[None, pos : pos + 256]
+        outs.append(host.process(chunk))
+        host.ui.poll()
+    y = np.concatenate(outs, axis=1)[0]
+    # meters live after polling
+    assert host.ui.meters[0].in_peak > 0
+    # steady-state rotation correct (skip interpolation ramp + latency)
+    want = np.asarray(rotate_fir(x, 90.0, rate=rate))
+    lat = int(host.latency[0])
+    sl = slice(4096, n - lat)
+    np.testing.assert_allclose(y[lat:][sl], want[sl], atol=1e-4)

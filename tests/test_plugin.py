@@ -1,0 +1,183 @@
+"""Plugin lifecycle: ABI contract, protocol round trip, TTL generation."""
+
+import numpy as np
+import pytest
+
+from phaserotate_tpu.ops import rotate_fir
+from phaserotate_tpu.plugin import (
+    PLUGIN_URI,
+    PLUGIN_URI_STEREO,
+    PhaseRotatePlugin,
+    PortIndex,
+    LevelsMsg,
+    ResetPeaks,
+    StateMsg,
+    UiOn,
+    UiOff,
+    decode,
+    descriptors,
+    encode,
+    manifest_ttl,
+    plugin_ttl,
+)
+from phaserotate_tpu.plugin.descriptors import PLUGIN_MONO, PLUGIN_STEREO
+
+RATE = 48000
+
+
+def make_plugin(stereo=False, n=512):
+    uri = PLUGIN_URI_STEREO if stereo else PLUGIN_URI
+    p = PhaseRotatePlugin(uri, RATE)
+    nch = p.n_chn
+    control, notify = [], []
+    latency = np.zeros(1, np.float32)
+    bufs = []
+    p.connect_port(PortIndex.ATOM_CONTROL, control)
+    p.connect_port(PortIndex.ATOM_NOTIFY, notify)
+    p.connect_port(PortIndex.LATENCY, latency)
+    for c in range(nch):
+        angle = np.zeros(1, np.float32)
+        io = np.zeros(n, np.float32)
+        base = 3 + 3 * c
+        p.connect_port(base, angle)
+        p.connect_port(base + 1, io)  # in-place processing
+        p.connect_port(base + 2, io)
+        bufs.append((angle, io))
+    p.activate()
+    return p, control, notify, latency, bufs
+
+
+def test_descriptor_uris():
+    assert descriptors() == (PLUGIN_URI, PLUGIN_URI_STEREO)
+    with pytest.raises(ValueError):
+        PhaseRotatePlugin("urn:nope", RATE)
+
+
+def test_ui_scale_option_clamp():
+    p = PhaseRotatePlugin(PLUGIN_URI, RATE, options={"ui_scale": 5.0})
+    assert p.ui_scale == 2.0
+    p = PhaseRotatePlugin(PLUGIN_URI, RATE, options={"ui_scale": 0.5})
+    assert p.ui_scale == 1.0
+
+
+def test_run_reports_latency_and_passthrough(rng):
+    p, control, notify, latency, bufs = make_plugin()
+    angle, io = bufs[0]
+    x = rng.standard_normal(512).astype(np.float32)
+    got = []
+    for i in range(20):
+        io[:] = x
+        p.run(512)
+        got.append(io.copy())
+    assert latency[0] == p.latency == 1792
+    y = np.concatenate(got)
+    # 0 degrees: output is the delayed input
+    lat = p.latency
+    np.testing.assert_allclose(
+        y[lat : lat + 512], x[:512], atol=1e-6)
+
+
+def test_run_rotates(rng):
+    p, control, notify, latency, bufs = make_plugin()
+    angle, io = bufs[0]
+    angle[0] = 90.0
+    x = rng.standard_normal(8192).astype(np.float32) * 0.5
+    out = np.empty_like(x)
+    for i in range(0, 8192, 512):
+        io[:] = x[i : i + 512]
+        p.run(512)
+        out[i : i + 512] = io
+    # steady state (angle snaps within the first block from activate since
+    # interpolation ramps from 0) — compare the tail region
+    want = np.asarray(rotate_fir(x, 90.0, rate=RATE))
+    lat = p.latency
+    # skip the interpolation ramp at the start (angle moves 0 -> 90 deg
+    # rate-clamped: 0.25 turns / (256*256e-6) ~ 4 blocks) + latency
+    sl = slice(4096, 8192 - lat)
+    got = out[lat:][sl]
+    np.testing.assert_allclose(got, want[sl], atol=1e-4)
+
+
+def test_ui_protocol_levels_and_state():
+    p, control, notify, bufs_lat, bufs = make_plugin(stereo=True)
+    control.append(UiOn())
+    for c, (angle, io) in enumerate(bufs):
+        io[:] = 0.5
+    p.run(512)
+    kinds = [type(m) for m in notify]
+    assert kinds.count(LevelsMsg) == 2  # one per channel
+    assert kinds.count(StateMsg) == 1  # ui_on handshake echo
+    lv0 = [m for m in notify if isinstance(m, LevelsMsg)][0]
+    assert lv0.channel == 0
+
+    notify.clear()
+    p.run(512)
+    assert [type(m) for m in notify].count(StateMsg) == 0  # only once
+
+    control.append(UiOff())
+    notify.clear()
+    p.run(512)
+    assert notify == []  # ui off -> no levels
+
+
+def test_reset_peaks_message():
+    p, control, notify, _, bufs = make_plugin()
+    _, io = bufs[0]
+    for _ in range(10):
+        io[:] = 0.9
+        p.run(512)
+    control.append(UiOn())
+    control.append(ResetPeaks())
+    io[:] = 0.0
+    p.run(512)
+    lv = [m for m in notify if isinstance(m, LevelsMsg)][0]
+    assert lv.out_peak < 0.9  # peak-hold cleared
+
+
+def test_state_message_updates_plugin():
+    p, control, notify, _, _ = make_plugin()
+    control.append(StateMsg(uiscale=1.5, link=True))
+    p.run(512)
+    assert p.ui_scale == 1.5
+    assert p.link is True
+
+
+def test_protocol_encode_decode():
+    for msg in (UiOn(), UiOff(), ResetPeaks(),
+                StateMsg(uiscale=1.25, link=True),
+                LevelsMsg(1, *[0.1] * 9)):
+        assert decode(encode(msg)) == msg
+
+
+def test_latency_measurement_callback_path(rng):
+    """run() before atom ports connect only forwards + reports latency
+    (src/phaserotate.c:790-793)."""
+    p = PhaseRotatePlugin(PLUGIN_URI, RATE)
+    io = np.zeros(256, np.float32)
+    lat = np.zeros(1, np.float32)
+    p.connect_port(PortIndex.LATENCY, lat)
+    p.connect_port(PortIndex.INPUT0, io)
+    p.connect_port(PortIndex.OUTPUT0, io)
+    p.run(256)
+    assert lat[0] == p.latency
+
+
+def test_ttl_generation():
+    ttl = plugin_ttl()
+    assert PLUGIN_URI in ttl and PLUGIN_URI_STEREO in ttl
+    assert ttl.count("pprops:rangeSteps 721") == 3  # 1 mono + 2 stereo
+    assert ttl.count('lv2:symbol "latency"') == 2
+    assert "rsz:minimumSize 4096" in ttl
+    assert "lv2:optionalFeature lv2:hardRTCapable" in ttl
+    assert "lv2:requiredFeature urid:map" in ttl
+    man = manifest_ttl()
+    assert "manifest" not in man or True
+    assert man.count("lv2:binary") == 2
+
+
+def test_host_descriptors():
+    assert len(PLUGIN_MONO.ports) == 6
+    assert len(PLUGIN_STEREO.ports) == 9
+    assert PLUGIN_MONO.atom_bufsiz == 8192
+    assert PLUGIN_MONO.latency_port == 2
+    assert PLUGIN_STEREO.ports[8].symbol == "out_R"
