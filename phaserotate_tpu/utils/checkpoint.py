@@ -1,0 +1,73 @@
+"""Sweep checkpointing for resumable batch jobs.
+
+The reference's only persistence is UI state inside a plugin instance
+(src/phaserotate.c:815-826); batch analysis restarts from scratch on every
+run.  Here the per-file peak tables — the entire analysis state — are an
+explicit array, so fleet jobs checkpoint them to disk and resume
+mid-dataset (SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["SweepCheckpoint"]
+
+
+class SweepCheckpoint:
+    """Append-only store of per-file peak tables.
+
+    Layout: ``<path>`` is an .npz updated atomically; keys are file ids,
+    values are (channels, MAXSAMPLE) float32 tables plus a parallel
+    ``<id>//rot0`` entry.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._tables: Dict[str, np.ndarray] = {}
+        self._rot0: Dict[str, np.ndarray] = {}
+        if os.path.exists(path):
+            with np.load(path, allow_pickle=False) as z:
+                for k in z.files:
+                    if k.endswith("//rot0"):
+                        self._rot0[k[: -len("//rot0")]] = z[k]
+                    else:
+                        self._tables[k] = z[k]
+
+    def __contains__(self, file_id: str) -> bool:
+        return file_id in self._tables
+
+    def __len__(self) -> int:
+        return len(self._tables)
+
+    def get(self, file_id: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        if file_id not in self._tables:
+            return None
+        return self._tables[file_id], self._rot0[file_id]
+
+    def put(self, file_id: str, table: np.ndarray, rot0: np.ndarray,
+            flush: bool = True) -> None:
+        self._tables[file_id] = np.asarray(table, np.float32)
+        self._rot0[file_id] = np.asarray(rot0, np.float32)
+        if flush:
+            self.flush()
+
+    def flush(self) -> None:
+        """Atomic write: temp file + rename."""
+        payload = dict(self._tables)
+        payload.update({k + "//rot0": v for k, v in self._rot0.items()})
+        d = os.path.dirname(os.path.abspath(self.path)) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, **payload)
+            os.replace(tmp, self.path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise

@@ -1,0 +1,83 @@
+"""Model classes, checkpoint/resume, profiling utils."""
+
+import numpy as np
+import pytest
+
+from phaserotate_tpu.models import AngleAnalyzer, OfflineRotator, PhaseRotator
+from phaserotate_tpu.utils import StageTimer, SweepCheckpoint
+
+
+def _sig(rng, n=3000, chans=1):
+    t = np.arange(n) / 48000.0
+    return np.stack([
+        (0.6 * np.sin(2 * np.pi * 997 * t + c)
+         + 0.35 * np.sin(2 * np.pi * 1994 * t + 0.7)).astype(np.float32)
+        for c in range(chans)
+    ])
+
+
+def test_offline_rotator(rng):
+    # integer-period tones: zero DC/Nyquist, so +-90 deg round-trips
+    # exactly (those bins scale by cos 90 = 0 and are unrecoverable
+    # otherwise — inherent to the rotation operator)
+    t = np.arange(4800) / 48000.0
+    x = (0.5 * np.sin(2 * np.pi * 1000 * t)
+         + 0.3 * np.sin(2 * np.pi * 2000 * t + 0.6)).astype(np.float32)
+    rot = OfflineRotator(rate=48000)
+    y = rot(x, 90.0)
+    z = rot(y, -90.0)
+    np.testing.assert_allclose(z, x, atol=1e-4)
+    with pytest.raises(ValueError):
+        OfflineRotator(method="nope")
+
+
+def test_phase_rotator_streaming(rng):
+    x = _sig(rng, n=4096)[0]
+    rot = PhaseRotator(rate=48000, channels=1)
+    y = rot.process(x, 0.0)
+    lat = rot.latency
+    np.testing.assert_allclose(y[lat:], x[: len(x) - lat], atol=1e-6)
+
+
+def test_analyzer_roundtrip(rng):
+    x = _sig(rng, n=4000)
+    an = AngleAnalyzer(rate=48000, blksiz=1024)
+    res = an.analyze(x)
+    assert res.found == [True]
+    y = an.apply(x, res)
+    assert np.abs(y[:, 512:]).max() <= np.abs(x[:, 512:]).max() + 1e-6
+
+
+def test_analyzer_checkpoint_resume(tmp_path, rng):
+    files = {f"f{i}": _sig(rng, n=3000 + 64 * i) for i in range(3)}
+    ck = str(tmp_path / "sweeps.npz")
+    an = AngleAnalyzer(rate=48000, blksiz=1024)
+    first = an.analyze_many(files, checkpoint=ck)
+
+    # resume run: tables come from disk; results identical even with a
+    # corrupted input (proves no re-sweep happened)
+    files_broken = {k: np.zeros_like(v) for k, v in files.items()}
+    second = an.analyze_many(files_broken, checkpoint=ck)
+    for k in files:
+        assert first[k].angles_units == second[k].angles_units
+
+    ckpt = SweepCheckpoint(ck)
+    assert len(ckpt) == 3
+    assert "f0" in ckpt
+
+    # changing stride re-selects from stored tables without re-sweeping
+    an2 = AngleAnalyzer(rate=48000, blksiz=1024, stride=8)
+    third = an2.analyze_many(files_broken, checkpoint=ck)
+    assert set(third) == set(files)
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    rep = t.report()
+    assert "a" in rep and "2x" in rep
