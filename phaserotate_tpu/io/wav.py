@@ -58,6 +58,10 @@ def _pcm_to_float(raw: bytes, bits: int, fmt: int) -> np.ndarray:
     if fmt != 1:
         raise WavFormatError(f"unsupported wFormatTag {fmt}")
     if bits == 16:
+        from . import native
+
+        if native.available():
+            return native.pcm16_to_f32(np.frombuffer(raw, "<i2"))
         return (np.frombuffer(raw, "<i2").astype(np.float32)) / 32768.0
     if bits == 24:
         b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
