@@ -53,3 +53,7 @@ __all__ = [
     "wrap_angle_units",
     "wrap_turns_delta",
 ]
+
+from .plancache import enable_persistent_cache, warmup_offline, warmup_stream
+
+__all__ += ["enable_persistent_cache", "warmup_offline", "warmup_stream"]

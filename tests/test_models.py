@@ -81,3 +81,12 @@ def test_stage_timer():
         pass
     rep = t.report()
     assert "a" in rep and "2x" in rep
+
+
+def test_warmup_plans():
+    """C10 equivalent: pre-compilation of every hot path for a geometry."""
+    from phaserotate_tpu.core import warmup_offline, warmup_stream
+    from phaserotate_tpu.core.sizes import OfflineGeometry, StreamGeometry
+
+    warmup_stream(StreamGeometry(rate=48000, fftlen=512, firlen=3072))
+    warmup_offline(OfflineGeometry(blksiz=1024), lengths=[2048])
