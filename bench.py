@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_rotate(rate=48000, seconds=60, batch=16, iters=5):
+def bench_rotate(rate=48000, seconds=60, batch=48, iters=4):
     from phaserotate_tpu.ops import rotate_fir
 
     n = rate * seconds
@@ -36,7 +36,7 @@ def bench_rotate(rate=48000, seconds=60, batch=16, iters=5):
     return batch * n / dt / rate  # x realtime
 
 
-def bench_search(rate=48000, seconds=10, batch=256):
+def bench_search(rate=48000, seconds=10, batch=256, iters=4):
     from phaserotate_tpu.core.sizes import OfflineGeometry
     from phaserotate_tpu.search.sweep import _sweep_impl
 
@@ -44,11 +44,12 @@ def bench_search(rate=48000, seconds=10, batch=256):
     n = rate * seconds
     rng = np.random.default_rng(1)
     x = jnp.asarray(0.5 * rng.standard_normal((batch, n)).astype(np.float32))
-    f = jax.jit(lambda x: jnp.sum(_sweep_impl(x, geom, 2048)[0]))
-    float(f(x))  # compile + warm
+    f = jax.jit(lambda x, s: jnp.sum(_sweep_impl(x + s, geom, 4096)[0]))
+    float(f(x, 0.0))  # compile + warm
     t0 = time.perf_counter()
-    float(f(x + 0.01))
-    dt = time.perf_counter() - t0
+    for i in range(iters):
+        float(f(x, 0.01 * i))
+    dt = (time.perf_counter() - t0) / iters
     return batch / dt  # files per second
 
 
