@@ -87,24 +87,44 @@ def batch_find_min_peak_angles(
     mesh: Mesh,
     stride: int = 24,
     link_channels: bool = False,
+    max_files_per_call: Optional[int] = None,
 ) -> list:
     """Full fleet search: sharded sweep on device, CLI-parity selection on
     host per file.
 
     Args:
       audio: (files, channels, n) float32.
+      max_files_per_call: HBM-safe chunking — process at most this many
+        files per device dispatch (rounded down to a mesh-divisible
+        count); a fleet larger than device memory streams through in
+        slices (SURVEY.md §5 failure-detection posture: OOM-safe
+        chunking instead of elastic retry).
 
     Returns a list of :class:`SearchResult`, one per file.
     """
-    tables, rot0 = batch_sweep_peaks(audio, geom, mesh)
-    tables = np.asarray(tables)
-    rot0 = np.asarray(rot0)
-    return [
-        select_min_peak_angles(
-            tables[i], stride=stride, link_channels=link_channels,
-            rot0=rot0[i])
-        for i in range(tables.shape[0])
-    ]
+    audio = np.asarray(audio, np.float32)
+    n_files = audio.shape[0]
+    n_dev = mesh.shape["files"]
+    if max_files_per_call is None:
+        chunk_files = n_files
+    else:
+        chunk_files = max(n_dev, (max_files_per_call // n_dev) * n_dev)
+    out = []
+    for start in range(0, n_files, chunk_files):
+        part = audio[start : start + chunk_files]
+        # pad the last slice up to a mesh-divisible file count
+        pad = (-len(part)) % n_dev
+        if pad:
+            part = np.concatenate(
+                [part, np.zeros((pad, *part.shape[1:]), np.float32)])
+        tables, rot0 = batch_sweep_peaks(part, geom, mesh)
+        tables = np.asarray(tables)
+        rot0 = np.asarray(rot0)
+        for i in range(len(part) - pad):
+            out.append(select_min_peak_angles(
+                tables[i], stride=stride, link_channels=link_channels,
+                rot0=rot0[i]))
+    return out
 
 
 def sharded_sweep_peaks(
@@ -113,8 +133,14 @@ def sharded_sweep_peaks(
     mesh: Mesh,
     axis: str = "samples",
     chunk: int = 2048,
+    file_axis: Optional[str] = None,
 ):
-    """Angle sweep of ONE long signal sharded along its sample axis.
+    """Angle sweep of long signal(s) sharded along the sample axis.
+
+    With ``file_axis`` set and 2-D input ``(files, n)``, composes sequence
+    parallelism with data parallelism over a 2-D mesh: each mesh row owns
+    a file shard, each column a sample shard; the halo/pmax collectives
+    run over ``axis`` only.
 
     Implements the whole-file evaluation map of search/sweep.py with the
     stream positions split across devices:
@@ -135,19 +161,21 @@ def sharded_sweep_peaks(
     firlen = geom.firlen
     n_dev = mesh.shape[axis]
     x = jnp.asarray(x, jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
     n = x.shape[-1]
     n_blocks = -(-n // parsiz)
     total = (n_blocks + 1) * parsiz
     # pad total up so each device owns a whole number of parsiz blocks
     per_dev_blocks = -(-(total // parsiz) // n_dev)
     total = per_dev_blocks * parsiz * n_dev
-    x_pad = jnp.pad(x, (0, total - n))
-    raw_peak = jnp.max(jnp.abs(x_pad))  # angle-0 table entry
+    x_pad = jnp.pad(x, ((0, 0), (0, total - n)))
 
     spectra = offline_fir_spectrum(geom)[None]
     cs = all_angle_cos_sin()
 
-    def shard_fn(x_local):  # (S,) local shard
+    def one_signal(x_local):  # (S,) local sample shard of one file
         S = x_local.shape[-1]
         idx = jax.lax.axis_index(axis)
         # left halo: last parsiz samples of the left neighbor
@@ -182,13 +210,19 @@ def sharded_sweep_peaks(
             jax.lax.pmax(jnp.max(jnp.abs(x_local)), axis))
         return peaks, rot0
 
+    def shard_fn(x_local):  # (F_local, S)
+        return jax.vmap(one_signal)(x_local)
+
     fn = jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=P(axis),
-            out_specs=(P(), P()),
+            in_specs=P(file_axis, axis),
+            out_specs=(P(file_axis), P(file_axis)),
             check_vma=False,
         )
     )
-    return fn(x_pad)
+    peaks, rot0 = fn(x_pad)
+    if squeeze:
+        return peaks[0], rot0[0]
+    return peaks, rot0

@@ -17,3 +17,7 @@ __all__ = [
     "stream_process",
     "stream_step",
 ]
+
+from .checkpoint import load_stream_state, save_stream_state
+
+__all__ += ["load_stream_state", "save_stream_state"]

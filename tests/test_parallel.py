@@ -82,3 +82,31 @@ def test_sharded_sweep_long_signal(rng, mesh):
     want, _ = sweep_peaks_aux(x[None], GEOM)
     np.testing.assert_allclose(
         np.asarray(peaks_sh), np.asarray(want)[0], atol=2e-5)
+
+
+def test_sharded_sweep_2d_mesh(rng):
+    """files x samples 2-D mesh: sequence parallelism composed with data
+    parallelism matches per-file unsharded sweeps."""
+    from phaserotate_tpu.parallel import grid_mesh
+
+    mesh2 = grid_mesh(2, 4)
+    n = 4 * 4 * GEOM.parsiz - 333
+    x = _signals(rng, 2, n)
+    peaks, rot0 = sharded_sweep_peaks(
+        x, GEOM, mesh2, axis="samples", file_axis="files")
+    want, want_r = sweep_peaks_aux(x, GEOM)
+    np.testing.assert_allclose(
+        np.asarray(peaks), np.asarray(want), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(rot0), np.asarray(want_r), atol=2e-5)
+
+
+def test_batch_find_min_chunked(rng, mesh):
+    """OOM-safe chunking returns identical results to one big dispatch."""
+    x = _signals(rng, 11, 3000)[:, None, :]  # 11 files: not mesh-divisible
+    full = batch_find_min_peak_angles(x, GEOM, mesh)
+    chunked = batch_find_min_peak_angles(
+        x, GEOM, mesh, max_files_per_call=8)
+    assert len(full) == len(chunked) == 11
+    for a, b in zip(full, chunked):
+        assert a.angles_units == b.angles_units

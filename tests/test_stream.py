@@ -142,3 +142,30 @@ def test_wraparound_small_jump_snaps():
     st, _ = stream_process(state, x, np.full((60,), 170.0, np.float32), GEOM)
     st2, _ = stream_process(st, x[:1], np.full((1,), -170.0, np.float32), GEOM)
     assert float(st2.angle) == pytest.approx(-170.0 / -360.0, abs=1e-6)
+
+
+def test_stream_state_checkpoint_resume(tmp_path, rng):
+    """Save mid-stream, resume in a 'new process': bit-identical output
+    (SURVEY.md §5 checkpoint/resume)."""
+    from phaserotate_tpu.stream import (
+        load_stream_state,
+        save_stream_state,
+        stream_process,
+    )
+
+    x = rng.standard_normal((40, GEOM.parsiz)).astype(np.float32)
+    targets = np.full((40,), 42.0, np.float32)
+
+    st = init_state(GEOM)
+    st, out_a = stream_process(st, x[:20], targets[:20], GEOM)
+    path = str(tmp_path / "stream.npz")
+    save_stream_state(path, st, GEOM)
+
+    st2, geom2 = load_stream_state(path)
+    assert geom2 == GEOM
+    _, out_b = stream_process(st2, x[20:], targets[20:], GEOM)
+
+    st_ref = init_state(GEOM)
+    _, want = stream_process(st_ref, x, targets, GEOM)
+    got = np.concatenate([np.asarray(out_a), np.asarray(out_b)])
+    np.testing.assert_array_equal(got, np.asarray(want))
