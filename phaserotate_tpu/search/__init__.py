@@ -53,3 +53,11 @@ def find_min_peak_angle(
         link_channels=link_channels,
         rot0=np.asarray(rot0),
     )
+
+
+def refine_angle(audio, theta0_units, geom, steps: int = 24):
+    """Continuous sub-grid refinement (lazy import; see
+    phaserotate_tpu.search.gradient)."""
+    from .gradient import refine_angle as _impl
+
+    return _impl(audio, theta0_units, geom, steps=steps)

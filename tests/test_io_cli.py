@@ -136,3 +136,24 @@ def test_cli_verbose_gnuplot(tmp_path, capsys):
 
 
 MAXSAMPLE_ROWS_MIN = 15  # coarse rows (360/24) at default stride
+
+
+def test_wav_malformed_rejected(tmp_path):
+    from phaserotate_tpu.io.wav import WavFormatError
+
+    p = tmp_path / "bad.wav"
+    p.write_bytes(b"RIFFxxxxNOPE" + b"\x00" * 50)
+    with pytest.raises(WavFormatError):
+        read_wav(str(p))
+    p2 = tmp_path / "trunc.wav"
+    p2.write_bytes(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+    with pytest.raises(WavFormatError):
+        read_wav(str(p2))
+
+
+def test_cli_missing_input_file(tmp_path, capsys):
+    from phaserotate_tpu import cli
+
+    rc = cli.main([str(tmp_path / "nope.wav")])
+    assert rc == 1
+    assert "Cannot open" in capsys.readouterr().err
