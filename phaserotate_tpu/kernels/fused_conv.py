@@ -1,0 +1,219 @@
+"""Fused OLA convolution kernel: matmul-FFT pipeline entirely in VMEM.
+
+One Pallas kernel computes, per ``parsiz``-sample block,
+
+    h = OLA( irfft( rfft(block) * FIR ) )
+
+with both transforms as 4-step Cooley-Tukey *matmuls on the MXU* and the
+overlap-add tail carried in kernel scratch across sequential grid steps.
+HBM sees each sample exactly twice (read block, write h) — the XLA FFT
+path materializes every intermediate.
+
+Key structural trick: the forward 4-step (left matmul, twiddle, right
+matmul) leaves the spectrum in digit-reversed ``[k1][k2]`` order, and the
+inverse is formulated to *consume exactly that order* (right matmul by
+conj(W2), conjugate twiddle, left matmul by conj(W1)) and emit natural
+sample order — so the whole pipeline needs no transposes, flips, or
+strided accesses, the operations TPUs are worst at.  The FIR spectrum is
+pre-arranged in the same ``[k1][k2]`` layout with the inverse
+normalization folded in.
+
+Real input is exploited twice: the zero-padded half of each FFT frame
+drops half of the first forward matmul, and only the real part of the
+final inverse matmul is computed.  Matmuls run at HIGHEST precision
+(f32-accurate) to hold the framework's 1e-5 parity budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rotate_peak import use_interpret
+
+__all__ = ["fused_ola_conv", "supported_parsiz", "fir_kk_layout"]
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _split(m: int) -> Tuple[int, int]:
+    p = m.bit_length() - 1
+    n1 = 1 << ((p + 1) // 2)  # prefer larger row dim (sublane-major)
+    return n1, m // n1
+
+
+def supported_parsiz(parsiz: int) -> bool:
+    """Kernel supports power-of-two partition sizes >= 2048 (so both
+    4-step factors are >= 64 and MXU-shaped)."""
+    return parsiz >= 2048 and (parsiz & (parsiz - 1)) == 0
+
+
+@functools.lru_cache(maxsize=8)
+def _fft_consts(fftlen: int):
+    """Forward/inverse DFT matrices + twiddles, numpy float32."""
+    n1, n2 = _split(fftlen)
+    w1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    w2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / fftlen)
+    f = lambda a: a.astype(np.float32)
+    return (
+        n1, n2,
+        f(w1.real), f(w1.imag),
+        f(w2.real), f(w2.imag),
+        f(tw.real), f(tw.imag),
+    )
+
+
+def fir_kk_layout(fir_spectrum_ri: np.ndarray, fftlen: int) -> np.ndarray:
+    """Arrange an rfft FIR spectrum (fftlen/2+1, 2) into the kernel's
+    full-spectrum ``[k1][k2]`` layout with 1/fftlen folded in.
+
+    Returns (n1, n2, 2) float32.
+    """
+    n1, n2 = _split(fftlen)
+    half = np.asarray(fir_spectrum_ri, np.float32)
+    hr, hi = half[..., 0], half[..., 1]
+    m = fftlen // 2
+    full_r = np.concatenate([hr, hr[1:m][::-1]])
+    full_i = np.concatenate([hi, -hi[1:m][::-1]])
+    k = np.arange(fftlen)
+    k1 = k % n1
+    k2 = k // n1
+    out = np.zeros((n1, n2, 2), np.float32)
+    out[k1, k2, 0] = full_r / fftlen
+    out[k1, k2, 1] = full_i / fftlen
+    return out
+
+
+def _make_kernel(n1: int, n2: int, t_blocks: int):
+    rows_in = n1 // 2  # zero-padded half of each frame drops these rows
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=_PREC, preferred_element_type=jnp.float32)
+
+    def kernel(w1r_h, w1i_h, w2r, w2i, twr, twi, w1r, w1i, h4,
+               frames, out, tail):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            tail[:] = jnp.zeros_like(tail)
+
+        h4r = h4[:, :, 0]
+        h4i = h4[:, :, 1]
+
+        for t in range(t_blocks):
+            a = frames[0, t].reshape(rows_in, n2)
+            # forward: B = W1[:, :rows] @ A   (real input)
+            br = dot(w1r_h[:], a)
+            bi = dot(w1i_h[:], a)
+            # forward twiddle
+            cr = br * twr[:] - bi * twi[:]
+            ci = br * twi[:] + bi * twr[:]
+            # D = C @ W2  -> spectrum in [k1][k2] order
+            dr = dot(cr, w2r[:]) - dot(ci, w2i[:])
+            di = dot(cr, w2i[:]) + dot(ci, w2r[:])
+            # FIR multiply (1/fftlen folded into h4)
+            er = dr * h4r - di * h4i
+            ei = dr * h4i + di * h4r
+            # inverse consumes [k1][k2]: E @ conj(W2)
+            fr = dot(er, w2r[:]) + dot(ei, w2i[:])
+            fi = dot(ei, w2r[:]) - dot(er, w2i[:])
+            # conjugate twiddle
+            gr = fr * twr[:] + fi * twi[:]
+            gi = fi * twr[:] - fr * twi[:]
+            # real part of conj(W1) @ G -> natural sample order
+            y = dot(w1r[:], gr) + dot(w1i[:], gi)  # (n1, n2)
+            head = y[: n1 // 2] + tail[:]
+            tail[:] = y[n1 // 2 :]
+            out[0, t] = head.reshape(rows_in * n2)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("parsiz", "t_blocks"))
+def fused_ola_conv(
+    frames: jnp.ndarray,
+    fir_kk: jnp.ndarray,
+    parsiz: int,
+    t_blocks: int = 4,
+) -> jnp.ndarray:
+    """Single-partition OLA convolution of framed signals.
+
+    Args:
+      frames: (B, n_blocks, parsiz) float32 — consecutive input blocks
+        (implicitly zero-padded to fftlen = 2*parsiz each).
+      fir_kk: (n1, n2, 2) float32 — FIR spectrum from
+        :func:`fir_kk_layout`.
+      parsiz: partition size (power of two >= 2048).
+      t_blocks: blocks per grid step.
+
+    Returns (B, n_blocks*parsiz) float32: the linear convolution stream
+    ``h[m] = (fir * x)[m]`` for m < n_blocks*parsiz (identical arithmetic
+    to ops.convolve.partitioned_convolve's head; run one extra zero block
+    through for the tail).
+    """
+    fftlen = 2 * parsiz
+    if not supported_parsiz(parsiz):
+        raise ValueError(f"unsupported parsiz {parsiz}")
+    (n1, n2, w1r, w1i, w2r, w2i, twr, twi) = _fft_consts(fftlen)
+    b, n_blocks, _ = frames.shape
+    pad_blocks = (-n_blocks) % t_blocks
+    if pad_blocks:
+        frames = jnp.pad(frames, ((0, 0), (0, pad_blocks), (0, 0)))
+        n_blocks += pad_blocks
+    n_tiles = n_blocks // t_blocks
+
+    rows_in = n1 // 2
+    w1r_h = jnp.asarray(w1r[:, :rows_in])
+    w1i_h = jnp.asarray(w1i[:, :rows_in])
+
+    consts = [
+        (w1r_h, (n1, rows_in)),
+        (w1i_h, (n1, rows_in)),
+        (jnp.asarray(w2r), (n2, n2)),
+        (jnp.asarray(w2i), (n2, n2)),
+        (jnp.asarray(twr), (n1, n2)),
+        (jnp.asarray(twi), (n1, n2)),
+        (jnp.asarray(w1r), (n1, n1)),
+        (jnp.asarray(w1i), (n1, n1)),
+        (jnp.asarray(fir_kk), (n1, n2, 2)),
+    ]
+
+    const_specs = [
+        pl.BlockSpec(shape, (lambda b_, i_, r=len(shape): (0,) * r),
+                     memory_space=pltpu.VMEM)
+        for _, shape in consts
+    ]
+
+    out = pl.pallas_call(
+        _make_kernel(n1, n2, t_blocks),
+        grid=(b, n_tiles),
+        in_specs=const_specs + [
+            pl.BlockSpec((1, t_blocks, parsiz), lambda b_, i_: (b_, i_, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_blocks, parsiz), lambda b_, i_: (b_, i_, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks, parsiz), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n1 // 2, n2), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_blocks * 12 * n1 * n1 * n2 * 2,
+            bytes_accessed=b * n_blocks * parsiz * 8,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(*[c for c, _ in consts], frames)
+    h = out.reshape(b, n_blocks * parsiz)
+    if pad_blocks:
+        h = h[:, : (n_blocks - pad_blocks) * parsiz]
+    return h
