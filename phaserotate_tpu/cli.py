@@ -25,7 +25,7 @@ from typing import List, Optional
 import numpy as np
 
 from . import __version__
-from .core.angles import MAXSAMPLE, SUBSAMPLE
+from .core.angles import MAXSAMPLE, SUBSAMPLE, angle_units_from_degrees
 from .core.sizes import MAX_BLKSIZ, MIN_BLKSIZ, OfflineGeometry, default_blksiz
 from .io.wav import WavFormatError, read_wav, write_wav
 from .search import apply_angles, select_min_peak_angles, sweep_peaks_aux
@@ -81,7 +81,7 @@ def _parse_angles(spec: str, n_channels: int) -> List[int]:
             _die("Invalid angle specified, value needs to be -180 .. +180.")
         if a < -180 or a > 180:
             _die("Invalid angle specified, value needs to be -180 .. +180.")
-        angles.append(int(round(a * SUBSAMPLE)))
+        angles.append(angle_units_from_degrees(a))  # C round() semantics
     if len(angles) == 1:
         angles = angles * n_channels
     if len(angles) < n_channels:

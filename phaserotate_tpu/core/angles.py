@@ -70,8 +70,15 @@ def sin_cos_turns(turns):
 
 
 def angle_units_from_degrees(degrees: float) -> int:
-    """Degrees -> integer half-degree units (cli/phase-rotate.cc:730)."""
-    return int(round(degrees * SUBSAMPLE))
+    """Degrees -> integer half-degree units (cli/phase-rotate.cc:730).
+
+    C ``round()`` semantics — halves round *away from zero*, unlike
+    Python's banker's rounding: 10.25 deg -> 21 units (10.5 deg), not 20.
+    """
+    import math
+
+    x = degrees * SUBSAMPLE
+    return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
 
 
 def wrap_angle_units(a: int) -> int:

@@ -118,7 +118,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.meters:
         host.ui.close()
-        host.process(np.zeros((channels, block), np.float32))
+        # drain the ui_off handshake with one more (captured!) block — the
+        # plugin state advances, so the output must stay in the stream or
+        # the written file is spliced (round-1 advisor finding).
+        outs.append(host.process(np.zeros((channels, block), np.float32)))
 
     if args.outfile:
         # compensate plugin latency like the offline CLI write path: flush

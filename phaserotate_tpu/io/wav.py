@@ -130,6 +130,13 @@ def read_wav(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + size > len(blob):
+            # a truncated chunk must be an error, not silently-short audio
+            # (libsndfile reports the header frame count; round-1 advisor)
+            raise WavFormatError(
+                f"{path}: truncated {cid!r} chunk — header declares "
+                f"{size} bytes, file has {len(blob) - pos - 8}"
+            )
         payload = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", payload, 0)

@@ -62,7 +62,7 @@ def batch_rotate(audio, degrees, mesh: Mesh, rate: float = 48000.0):
 
 
 def batch_sweep_peaks(audio, geom: OfflineGeometry, mesh: Mesh,
-                      chunk: int = 2048):
+                      chunk: int = 4096):
     """Peak tables for a (files, ..., n) batch, files-sharded.
 
     Returns (tables, rot0) exactly like search.sweep_peaks_aux, computed
@@ -132,7 +132,7 @@ def sharded_sweep_peaks(
     geom: OfflineGeometry,
     mesh: Mesh,
     axis: str = "samples",
-    chunk: int = 2048,
+    chunk: int = 4096,
     file_axis: Optional[str] = None,
 ):
     """Angle sweep of long signal(s) sharded along the sample axis.

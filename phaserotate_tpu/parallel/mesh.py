@@ -26,17 +26,33 @@ __all__ = ["file_mesh", "grid_mesh", "shard_files"]
 
 
 def file_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh over ``files`` (pure data parallelism)."""
+    """1-D mesh over ``files`` (pure data parallelism).
+
+    Raises if fewer than ``n_devices`` devices are visible — silently
+    shrinking the mesh would shard the fleet differently than the caller
+    laid it out.
+    """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devs)} "
+            f"device(s) are visible"
+        )
     return Mesh(np.array(devs[:n]), axis_names=("files",))
 
 
 def grid_mesh(files: int, samples: int) -> Mesh:
     """2-D mesh: data parallel over files x sequence parallel over
     samples."""
-    devs = np.array(jax.devices()[: files * samples]).reshape(files, samples)
-    return Mesh(devs, axis_names=("files", "samples"))
+    devs = jax.devices()
+    if files * samples > len(devs):
+        raise ValueError(
+            f"requested a {files}x{samples} mesh but only {len(devs)} "
+            f"device(s) are visible"
+        )
+    grid = np.array(devs[: files * samples]).reshape(files, samples)
+    return Mesh(grid, axis_names=("files", "samples"))
 
 
 def shard_files(x, mesh: Mesh):

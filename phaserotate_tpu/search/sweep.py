@@ -107,7 +107,7 @@ def _sweep_impl(
 def sweep_peaks(
     audio,
     geom: OfflineGeometry,
-    chunk: int = 2048,
+    chunk: int = 4096,
 ) -> jnp.ndarray:
     """Peak level per candidate rotation angle.
 
@@ -125,7 +125,7 @@ def sweep_peaks(
     return _sweep_impl(x, geom, chunk)[0]
 
 
-def sweep_peaks_aux(audio, geom: OfflineGeometry, chunk: int = 2048):
+def sweep_peaks_aux(audio, geom: OfflineGeometry, chunk: int = 4096):
     """Like :func:`sweep_peaks` but also returns the (...,) "rotated at 0"
     aux peak needed for bit-exact fine-pass parity (see minimize.py)."""
     x = jnp.asarray(audio, jnp.float32)

@@ -110,3 +110,32 @@ def test_host_rotation_and_ui(tmp_path, rng):
     lat = int(host.latency[0])
     sl = slice(4096, n - lat)
     np.testing.assert_allclose(y[lat:][sl], want[sl], atol=1e-4)
+
+
+def test_host_meters_plus_outfile_no_splice(tmp_path, rng):
+    """--meters together with an output file must not drop the ui-close
+    flush block from the stream (round-1 advisor, severity medium)."""
+    rate = 48000
+    x = (0.5 * rng.standard_normal(6000)).astype(np.float32)
+    src = tmp_path / "in.wav"
+    write_wav(str(src), x, rate)
+
+    from phaserotate_tpu import hostapp
+
+    dst_m = tmp_path / "with_meters.wav"
+    rc = hostapp.main(
+        [str(src), str(dst_m), "--angle", "0", "--block", "333", "--meters"])
+    assert rc == 0
+    y, _, _ = read_wav(str(dst_m))
+    np.testing.assert_allclose(y[0], x, atol=1e-6)
+
+    # and with a rotation: must equal the no-meters run sample-exactly
+    dst_a = tmp_path / "a.wav"
+    dst_b = tmp_path / "b.wav"
+    assert hostapp.main([str(src), str(dst_a), "--angle", "35",
+                         "--block", "256"]) == 0
+    assert hostapp.main([str(src), str(dst_b), "--angle", "35",
+                         "--block", "256", "--meters"]) == 0
+    ya, _, _ = read_wav(str(dst_a))
+    yb, _, _ = read_wav(str(dst_b))
+    np.testing.assert_array_equal(ya, yb)

@@ -157,3 +157,30 @@ def test_cli_missing_input_file(tmp_path, capsys):
     rc = cli.main([str(tmp_path / "nope.wav")])
     assert rc == 1
     assert "Cannot open" in capsys.readouterr().err
+
+
+def test_wav_truncated_data_chunk_rejected(tmp_path):
+    """A data chunk shorter than its declared size must raise, not
+    silently shorten the audio (round-1 advisor finding)."""
+    from phaserotate_tpu.io.wav import WavFormatError
+
+    p = tmp_path / "ok.wav"
+    write_wav(str(p), np.zeros(1000, np.float32), 48000)
+    blob = bytearray(p.read_bytes())
+    p3 = tmp_path / "cut.wav"
+    p3.write_bytes(bytes(blob[:-100]))  # cut 100 bytes off the data chunk
+    with pytest.raises(WavFormatError, match="truncated"):
+        read_wav(str(p3))
+
+
+def test_angle_units_c_round_semantics():
+    """Half-unit angles round away from zero like C round(), not to even
+    (cli/phase-rotate.cc:730 uses rintf-free round)."""
+    from phaserotate_tpu.core.angles import angle_units_from_degrees
+
+    assert angle_units_from_degrees(10.25) == 21
+    assert angle_units_from_degrees(-10.25) == -21
+    assert angle_units_from_degrees(10.0) == 20
+    assert angle_units_from_degrees(0.25) == 1
+    assert angle_units_from_degrees(-0.25) == -1
+    assert angle_units_from_degrees(0.0) == 0
