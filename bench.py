@@ -7,20 +7,53 @@ Two driver-set targets (BASELINE.json):
 
 Prints ONE JSON line; `value` is the rotate realtime multiple and
 `vs_baseline` is the *minimum* of the two target ratios, so it only reads
->= 1 when both targets are met.  Timing forces a scalar readback per
-iteration because block_until_ready does not guarantee completion on the
-remote-tunnel TPU backend.
+>= 1 when both targets are met.  Extra keys record the search number, the
+backend the run actually landed on, and per-run medians.
+
+Methodology notes:
+  * The backend matters: if the environment pre-sets JAX_PLATFORMS=cpu
+    (as the multi-chip dryrun harness does), these numbers would silently
+    measure the host CPU.  We clear that before importing jax and record
+    the platform in the output.
+  * Timing forces a scalar readback per iteration because
+    block_until_ready does not guarantee completion on the remote-tunnel
+    TPU backend.
+  * Each metric is the median of REPS timed runs of ITERS iterations
+    (distinct angle inputs defeat caching); medians absorb transient
+    tunnel/host contention.
 """
 
 import json
+import os
+import statistics
 import time
+
+# never bench the virtual CPU platform by accident
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() in ("cpu",):
+    del os.environ["JAX_PLATFORMS"]
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+ITERS = 4
+REPS = 3
 
-def bench_rotate(rate=48000, seconds=60, batch=48, iters=4):
+
+def _medtime(fn, inputs):
+    """Median seconds/iteration over REPS runs of ITERS calls each."""
+    float(fn(*inputs(0)))  # compile + warm
+    float(fn(*inputs(1)))  # warm a second input (cache both shapes/paths)
+    runs = []
+    for r in range(REPS):
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            float(fn(*inputs(2 + r * ITERS + i)))
+        runs.append((time.perf_counter() - t0) / ITERS)
+    return statistics.median(runs)
+
+
+def bench_rotate(rate=48000, seconds=60, batch=48):
     from phaserotate_tpu.ops import rotate_fir
 
     n = rate * seconds
@@ -28,15 +61,11 @@ def bench_rotate(rate=48000, seconds=60, batch=48, iters=4):
     x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
     degs = jnp.asarray(rng.uniform(-180, 180, batch).astype(np.float32))
     run = jax.jit(lambda x, d: jnp.sum(rotate_fir(x, d, rate=rate)))
-    float(run(x, degs))  # compile + warm
-    t0 = time.perf_counter()
-    for i in range(iters):
-        float(run(x, degs + float(i)))  # distinct angles defeat caching
-    dt = (time.perf_counter() - t0) / iters
+    dt = _medtime(run, lambda i: (x, degs + float(i)))
     return batch * n / dt / rate  # x realtime
 
 
-def bench_search(rate=48000, seconds=10, batch=256, iters=4):
+def bench_search(rate=48000, seconds=10, batch=256):
     from phaserotate_tpu.core.sizes import OfflineGeometry
     from phaserotate_tpu.search.sweep import _sweep_impl
 
@@ -45,26 +74,25 @@ def bench_search(rate=48000, seconds=10, batch=256, iters=4):
     rng = np.random.default_rng(1)
     x = jnp.asarray(0.5 * rng.standard_normal((batch, n)).astype(np.float32))
     f = jax.jit(lambda x, s: jnp.sum(_sweep_impl(x + s, geom, 4096)[0]))
-    float(f(x, 0.0))  # compile + warm
-    t0 = time.perf_counter()
-    for i in range(iters):
-        float(f(x, 0.01 * i))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _medtime(f, lambda i: (x, 0.01 * i))
     return batch / dt  # files per second
 
 
 def main():
+    platform = jax.devices()[0].platform
     rt = bench_rotate()
     fps = bench_search()
     print(
         json.dumps(
             {
-                "metric": "rotate_x_realtime_mono48k (search_files_per_s="
-                + str(round(fps, 1))
-                + ")",
+                "metric": "rotate_x_realtime_mono48k",
                 "value": round(rt, 1),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(min(rt / 1000.0, fps / 100.0), 3),
+                "search_files_per_s": round(fps, 1),
+                "platform": platform,
+                "reps": REPS,
+                "iters": ITERS,
             }
         )
     )

@@ -37,7 +37,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rotate_peak import use_interpret
 
-__all__ = ["fused_ola_conv", "supported_parsiz", "fir_kk_layout"]
+__all__ = [
+    "fused_ola_conv",
+    "fused_hilbert",
+    "supported_parsiz",
+    "fused_parsiz_for",
+    "fir_kk_layout",
+    "hilbert_fir_kk",
+]
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -52,6 +59,16 @@ def supported_parsiz(parsiz: int) -> bool:
     """Kernel supports power-of-two partition sizes >= 2048 (so both
     4-step factors are >= 64 and MXU-shaped)."""
     return parsiz >= 2048 and (parsiz & (parsiz - 1)) == 0
+
+
+def fused_parsiz_for(firlen: int) -> int:
+    """Single-partition size hosting a ``firlen``-tap FIR: the FIR is
+    zero-padded up to the next supported power of two (3072 -> 4096; the
+    padded taps are zeros, so the convolution is unchanged)."""
+    p = 2048
+    while p < firlen:
+        p <<= 1
+    return p
 
 
 @functools.lru_cache(maxsize=8)
@@ -101,6 +118,10 @@ def _make_kernel(n1: int, n2: int, t_blocks: int):
 
     def kernel(w1r_h, w1i_h, w2r, w2i, twr, twi, w1r, w1i, h4,
                frames, out, tail):
+        # frames/out blocks are (1, t_blocks, rows_in, n2): keeping each
+        # frame pre-shaped as a 2-D (rows_in, n2) tile means the Mosaic
+        # lowering never sees a 1-D 4096-wide reshape (which violates the
+        # (8, 128) tiling rule and crashed the TPU compile in round 1).
         i = pl.program_id(1)
 
         @pl.when(i == 0)
@@ -111,7 +132,7 @@ def _make_kernel(n1: int, n2: int, t_blocks: int):
         h4i = h4[:, :, 1]
 
         for t in range(t_blocks):
-            a = frames[0, t].reshape(rows_in, n2)
+            a = frames[0, t]
             # forward: B = W1[:, :rows] @ A   (real input)
             br = dot(w1r_h[:], a)
             bi = dot(w1i_h[:], a)
@@ -134,7 +155,7 @@ def _make_kernel(n1: int, n2: int, t_blocks: int):
             y = dot(w1r[:], gr) + dot(w1i[:], gi)  # (n1, n2)
             head = y[: n1 // 2] + tail[:]
             tail[:] = y[n1 // 2 :]
-            out[0, t] = head.reshape(rows_in * n2)
+            out[0, t] = head
 
     return kernel
 
@@ -173,6 +194,10 @@ def fused_ola_conv(
     n_tiles = n_blocks // t_blocks
 
     rows_in = n1 // 2
+    # pre-shape every frame as a (rows_in, n2) tile: sample m of a frame
+    # sits at [m // n2, m % n2] — the layout both matmul stages consume
+    # and emit, so the kernel body is reshape-free
+    frames = frames.reshape(b, n_blocks, rows_in, n2)
     w1r_h = jnp.asarray(w1r[:, :rows_in])
     w1i_h = jnp.asarray(w1i[:, :rows_in])
 
@@ -198,13 +223,15 @@ def fused_ola_conv(
         _make_kernel(n1, n2, t_blocks),
         grid=(b, n_tiles),
         in_specs=const_specs + [
-            pl.BlockSpec((1, t_blocks, parsiz), lambda b_, i_: (b_, i_, 0),
+            pl.BlockSpec((1, t_blocks, rows_in, n2),
+                         lambda b_, i_: (b_, i_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, t_blocks, parsiz), lambda b_, i_: (b_, i_, 0),
+            (1, t_blocks, rows_in, n2), lambda b_, i_: (b_, i_, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_blocks, parsiz), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks, rows_in, n2),
+                                       jnp.float32),
         scratch_shapes=[pltpu.VMEM((n1 // 2, n2), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=b * n_blocks * 12 * n1 * n1 * n2 * 2,
@@ -217,3 +244,53 @@ def fused_ola_conv(
     if pad_blocks:
         h = h[:, : (n_blocks - pad_blocks) * parsiz]
     return h
+
+
+@functools.lru_cache(maxsize=16)
+def _hilbert_fir_kk_np(firlen: int, parsiz: int) -> np.ndarray:
+    """Hilbert FIR (``firlen`` taps, core/fir.py design), zero-padded to a
+    single ``parsiz``-tap partition, in the kernel's [k1][k2] layout."""
+    from ..core.fir import _design_hilbert_fir_np
+
+    fir = np.pad(_design_hilbert_fir_np(firlen), (0, parsiz - firlen))
+    spec = np.fft.rfft(np.pad(fir, (0, parsiz)))  # fftlen = 2*parsiz
+    ri = np.stack([spec.real, spec.imag], -1).astype(np.float32)
+    return fir_kk_layout(ri, 2 * parsiz)
+
+
+def hilbert_fir_kk(firlen: int, parsiz: int) -> jnp.ndarray:
+    return jnp.asarray(_hilbert_fir_kk_np(firlen, parsiz))
+
+
+def fused_hilbert(
+    x: jnp.ndarray,
+    firlen: int,
+    parsiz: int | None = None,
+    t_blocks: int = 16,
+) -> jnp.ndarray:
+    """Full linear convolution of ``x`` (..., n) with the ``firlen``-tap
+    Hilbert FIR via the fused MXU kernel.
+
+    Returns (..., n_frames*parsiz) with ``n_frames = ceil(n/parsiz) + 1``
+    — the head of the linear convolution stream, covering every index of
+    ``fir * x`` up to at least ``n + parsiz`` (the extra flush frame
+    drains the OLA tail).  Identical arithmetic to
+    ``ops.convolve.partitioned_convolve`` (parity-tested <3e-6); measured
+    ~1.4x the XLA FFT path on-chip for the 48k stream geometry.
+    """
+    if parsiz is None:
+        parsiz = fused_parsiz_for(firlen)
+    if not supported_parsiz(parsiz) or firlen > parsiz:
+        raise ValueError(f"unsupported (firlen={firlen}, parsiz={parsiz})")
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    b = 1
+    for d in batch_shape:
+        b *= d
+    n_frames = -(-n // parsiz) + 1  # + flush frame for the tail
+    pad = n_frames * parsiz - n
+    xp = jnp.pad(x.reshape(b, n), ((0, 0), (0, pad)))
+    frames = xp.reshape(b, n_frames, parsiz)
+    kk = hilbert_fir_kk(firlen, parsiz)
+    h = fused_ola_conv(frames, kk, parsiz, t_blocks=t_blocks)
+    return h.reshape(*batch_shape, n_frames * parsiz)

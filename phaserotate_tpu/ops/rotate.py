@@ -70,6 +70,14 @@ def rotate_spectral(audio, degrees) -> jnp.ndarray:
     return _rotate_spectral_impl(x, _theta(degrees), x.shape[-1])
 
 
+def _on_tpu() -> bool:
+    """True when the default backend is a real TPU (incl. the tunneled
+    'axon' platform).  Decides the convolution engine at trace time: the
+    fused MXU kernel on TPU, the XLA-FFT path elsewhere (where the Pallas
+    kernel would fall back to the slow interpreter)."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def hilbert_fir(
     audio,
     firlen: int,
@@ -81,16 +89,25 @@ def hilbert_fir(
     ``firlen/2`` is already compensated.  Edge samples (within firlen/2 of
     either end) see the zero-padded boundary exactly as a freshly-activated
     plugin instance would.
+
+    On TPU the convolution runs in the fused Pallas MXU kernel
+    (kernels/fused_conv.py, matmul-FFT pipeline entirely in VMEM);
+    elsewhere as batched XLA FFTs.  Both compute the identical linear
+    convolution (parity-tested <3e-6 in tests/test_kernels.py).
     """
     x = jnp.asarray(audio, jnp.float32)
-    # single-partition OLA (partition == FIR support): measured faster on
-    # TPU than one monolithic padded-to-pow2 FFT, with identical math
+    lat = firlen // 2
+    if _on_tpu():
+        from ..kernels.fused_conv import fused_hilbert
+
+        full = fused_hilbert(x, firlen)
+        return full[..., lat : lat + x.shape[-1]]
+    # single-partition OLA (partition == FIR support): batched XLA FFTs
     from ..core.fir import partition_fir_spectra
     from .convolve import partitioned_convolve
 
     spectra = partition_fir_spectra(firlen, firlen)
     full = partitioned_convolve(x, spectra, firlen)
-    lat = firlen // 2
     return full[..., lat : lat + x.shape[-1]]
 
 

@@ -30,7 +30,7 @@ from ..meter import (
     meter_falloff,
     reset_peaks,
 )
-from ..stream.engine import init_state, stream_step
+from ..stream.engine import init_state, stream_step_batched
 from .protocol import LevelsMsg, Message, ResetPeaks, StateMsg, UiOff, UiOn
 from .uris import (
     MAX_CHANNELS,
@@ -91,7 +91,10 @@ class PhaseRotatePlugin:
 
     def _init_dsp(self) -> None:
         parsiz = self.geom.parsiz
-        self._state = [init_state(self.geom) for _ in range(self.n_chn)]
+        # channels ride a vmapped batch axis: one dispatch per frame for
+        # mono AND stereo (the reference spawns a thread per channel,
+        # cli/phase-rotate.cc:437-444; on TPU batching is the fan-out)
+        self._state = init_state(self.geom, (self.n_chn,))
         self._mtr = [init_meter_state(self._mtr_cfg)
                      for _ in range(self.n_chn)]
         self._offset = 0
@@ -166,56 +169,68 @@ class PhaseRotatePlugin:
             self._falloff = meter_falloff(self.rate, n_samples)
             self._fpp = n_samples
 
-        entry_offset = self._offset
-        for c in range(self.n_chn):
-            self._process_channel(c, n_samples, entry_offset)
-        self._offset = (entry_offset + n_samples) % self.geom.parsiz
+        self._process_block(n_samples)
 
         if self.ui_active and self._send_state:
             self._send_state = False
             self._notify.append(
                 StateMsg(uiscale=self.ui_scale, link=self.link))
 
-    def _process_channel(self, c: int, n: int, entry_offset: int) -> None:
-        """src/phaserotate.c:538-772 with the DSP on device."""
+    def _process_block(self, n: int) -> None:
+        """src/phaserotate.c:538-772 with the DSP on device.
+
+        All channels advance through one batched ``stream_step`` dispatch
+        per completed ``parsiz`` frame (the reference runs a serial
+        per-channel loop; on TPU the channel axis batches the FFTs).
+        """
         geom = self.geom
         parsiz = geom.parsiz
-        buf = self._out[c]
-        target_deg = float(self._angle[c][0]) if self._angle[c] is not None \
-            else 0.0
-        in_copy = np.array(buf[:n], np.float32)  # raw input (pre-process)
+        n_chn = self.n_chn
 
-        target_turns = float(degrees_to_turns(target_deg))
-        angle_changed = target_turns != float(self._state[c].angle)
+        target_deg = np.array(
+            [float(self._angle[c][0]) if self._angle[c] is not None else 0.0
+             for c in range(n_chn)], np.float32)
+        in_copies = [np.array(self._out[c][:n], np.float32)
+                     for c in range(n_chn)]  # raw input (pre-process)
 
-        # block staging identical to the reference's offset bookkeeping;
-        # every channel walks the same offset trajectory per run
+        target_turns = np.asarray(degrees_to_turns(target_deg))
+        angle_now = np.asarray(self._state.angle)  # one batched readback
+        angle_changed = target_turns != angle_now
+
+        # block staging identical to the reference's offset bookkeeping
         pos = 0
-        offset = entry_offset
+        offset = self._offset
         while pos < n:
             ns = min(parsiz - offset, n - pos)
-            self._cur_in[c, offset : offset + ns] = buf[pos : pos + ns]
-            buf[pos : pos + ns] = self._cur_out[c, offset : offset + ns]
+            for c in range(n_chn):
+                self._cur_in[c, offset : offset + ns] = \
+                    self._out[c][pos : pos + ns]
+                self._out[c][pos : pos + ns] = \
+                    self._cur_out[c, offset : offset + ns]
             offset += ns
             pos += ns
             if offset == parsiz:
                 offset = 0
-                self._state[c], y = stream_step(
-                    self._state[c], self._cur_in[c], target_deg, geom)
-                self._cur_out[c] = np.asarray(y)
+                self._state, y = stream_step_batched(
+                    self._state, self._cur_in, target_deg, geom)
+                self._cur_out = np.asarray(y)
+        self._offset = offset
 
         # metering (src/phaserotate.c:573-611, 728-771)
-        self._mtr[c], lv = meter_block(
-            self._mtr[c], in_copy, np.asarray(buf[:n], np.float32),
-            self._falloff, self._mtr_cfg.hold_samples, angle_changed)
+        for c in range(n_chn):
+            self._mtr[c], lv = meter_block(
+                self._mtr[c], in_copies[c],
+                np.asarray(self._out[c][:n], np.float32),
+                self._falloff, self._mtr_cfg.hold_samples,
+                bool(angle_changed[c]))
 
-        if self.ui_active:
-            self._notify.append(LevelsMsg(
-                channel=c,
-                in_cur=float(lv.in_cur), in_mom=float(lv.in_mom),
-                in_peak=float(lv.in_peak),
-                out_cur=float(lv.out_cur), out_mom=float(lv.out_mom),
-                out_peak=float(lv.out_peak),
-                diff_cur=float(lv.diff_cur), diff_min=float(lv.diff_min),
-                diff_max=float(lv.diff_max),
-            ))
+            if self.ui_active:
+                self._notify.append(LevelsMsg(
+                    channel=c,
+                    in_cur=float(lv.in_cur), in_mom=float(lv.in_mom),
+                    in_peak=float(lv.in_peak),
+                    out_cur=float(lv.out_cur), out_mom=float(lv.out_mom),
+                    out_peak=float(lv.out_peak),
+                    diff_cur=float(lv.diff_cur), diff_min=float(lv.diff_min),
+                    diff_max=float(lv.diff_max),
+                ))

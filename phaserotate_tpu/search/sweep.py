@@ -54,9 +54,17 @@ def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
 
     Single-partition OLA, batched over all blocks at once — identical
     arithmetic to PhaseRotateProc::hilbert (cli/phase-rotate.cc:181-212).
+    On TPU the convolution runs in the fused Pallas MXU kernel (the
+    offline parsiz is always a supported power of two >= 1024).
     """
+    from ..ops.rotate import _on_tpu
+
     parsiz = geom.parsiz
     n_blocks = _offline_frames(x, parsiz)
+    if _on_tpu() and parsiz >= 2048:
+        from ..kernels.fused_conv import fused_hilbert
+
+        return fused_hilbert(x, firlen=parsiz, parsiz=parsiz)
     spectra = offline_fir_spectrum(geom)[None]  # (1, parsiz+1, 2)
     full = partitioned_convolve(x, spectra, parsiz)
     return full[..., : (n_blocks + 1) * parsiz]

@@ -36,6 +36,7 @@ __all__ = [
     "StreamState",
     "init_state",
     "stream_step",
+    "stream_step_batched",
     "stream_process",
     "rotate_streamed",
 ]
@@ -162,6 +163,30 @@ def stream_step(
                     angle=new_angle),
         out,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("geom",))
+def stream_step_batched(
+    state: StreamState,
+    frames: jnp.ndarray,
+    target_degrees: jnp.ndarray,
+    geom: StreamGeometry,
+) -> Tuple[StreamState, jnp.ndarray]:
+    """:func:`stream_step` vmapped over a leading channel/batch axis.
+
+    One device dispatch advances every channel — the idiomatic TPU
+    replacement for the reference's thread-per-channel fan-out
+    (cli/phase-rotate.cc:437-444): channels ride the batch axis of the
+    same FFTs instead of separate threads.
+
+    Args:
+      state: batched state from ``init_state(geom, (channels,))``.
+      frames: (channels, parsiz) float32.
+      target_degrees: (channels,) float32.
+    """
+    return jax.vmap(
+        lambda s, f, t: stream_step(s, f, t, geom)
+    )(state, frames, jnp.asarray(target_degrees, jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("geom",))

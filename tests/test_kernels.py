@@ -42,3 +42,76 @@ def test_sweep_kernel_matches_direct(rng):
         cs[0][:, None] * b0[None] + cs[1][:, None] * b1[None]
     ).max(axis=1)
     np.testing.assert_allclose(got, direct, atol=2e-5)
+
+
+class TestFusedConv:
+    """Fused MXU OLA convolution kernel (kernels/fused_conv.py) — the TPU
+    production path of hilbert_fir / hilbert_offline."""
+
+    def test_matches_partitioned_convolve(self, rng):
+        from phaserotate_tpu.core.fir import partition_fir_spectra
+        from phaserotate_tpu.kernels.fused_conv import (
+            fused_ola_conv, hilbert_fir_kk)
+        from phaserotate_tpu.ops.convolve import partitioned_convolve
+        import jax.numpy as jnp
+
+        firlen, parsiz = 3072, 4096
+        x = rng.standard_normal((2, 3 * parsiz)).astype(np.float32)
+        frames = jnp.asarray(x).reshape(2, 3, parsiz)
+        kk = hilbert_fir_kk(firlen, parsiz)
+        ref = np.asarray(partitioned_convolve(
+            jnp.asarray(x), partition_fir_spectra(firlen, firlen), firlen
+        ))[:, : 3 * parsiz]
+        for tb in (1, 2, 4):
+            h = np.asarray(fused_ola_conv(frames, kk, parsiz, t_blocks=tb))
+            np.testing.assert_allclose(h, ref, atol=3e-6)
+
+    def test_fused_hilbert_equals_xla_hilbert_fir(self, rng):
+        """The dispatch alternative paths of ops.rotate.hilbert_fir agree."""
+        from phaserotate_tpu.kernels.fused_conv import fused_hilbert
+        from phaserotate_tpu.ops.rotate import hilbert_fir
+        import jax.numpy as jnp
+
+        firlen = 3072
+        n = 10000  # non-multiple of parsiz
+        x = rng.standard_normal((3, n)).astype(np.float32)
+        lat = firlen // 2
+        want = np.asarray(hilbert_fir(jnp.asarray(x), firlen))  # XLA on CPU
+        full = np.asarray(fused_hilbert(jnp.asarray(x), firlen))
+        got = full[..., lat : lat + n]
+        assert full.shape[-1] >= n + lat
+        np.testing.assert_allclose(got, want, atol=3e-6)
+
+    def test_fused_offline_geometry(self, rng):
+        """parsiz == firlen (the CLI/search geometry) matches the XLA
+        single-partition OLA used by hilbert_offline."""
+        from phaserotate_tpu.core.fir import offline_fir_spectrum
+        from phaserotate_tpu.core.sizes import OfflineGeometry
+        from phaserotate_tpu.kernels.fused_conv import fused_hilbert
+        from phaserotate_tpu.ops.convolve import partitioned_convolve
+        import jax.numpy as jnp
+
+        geom = OfflineGeometry(blksiz=2048)
+        n = 2 * geom.parsiz + 123
+        x = rng.standard_normal(n).astype(np.float32)
+        n_blocks = -(-n // geom.parsiz)
+        want = np.asarray(partitioned_convolve(
+            jnp.asarray(x), offline_fir_spectrum(geom)[None], geom.parsiz
+        ))[: (n_blocks + 1) * geom.parsiz]
+        got = np.asarray(fused_hilbert(
+            jnp.asarray(x), firlen=geom.parsiz, parsiz=geom.parsiz))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=3e-6)
+
+    def test_parsiz_validation(self):
+        from phaserotate_tpu.kernels.fused_conv import (
+            fused_hilbert, fused_parsiz_for, supported_parsiz)
+        import jax.numpy as jnp
+
+        assert fused_parsiz_for(3072) == 4096
+        assert fused_parsiz_for(4096) == 4096
+        assert fused_parsiz_for(8192) == 8192
+        assert not supported_parsiz(1024)
+        assert not supported_parsiz(3072)
+        with pytest.raises(ValueError):
+            fused_hilbert(jnp.zeros(100), firlen=3072, parsiz=1024)
