@@ -1,0 +1,320 @@
+// prt_bridge — native standalone streamer for the phaserotate_tpu engine.
+//
+// The role of the reference's JACK standalone app (Makefile:250-257): an
+// external native process that pushes audio through the plugin in
+// real-time-sized blocks — here over the engine daemon's Unix socket
+// (phaserotate_tpu/bridge.py), so no Python is imported in this process.
+//
+//   prt_bridge [-s socket] [-a angle[,angle2]] [-b block] [-r] in.wav [out.wav]
+//
+// Reads PCM16/24/32 and float32 WAV, streams, latency-compensates the
+// write exactly like the offline CLI (skip `latency` frames, flush zero
+// blocks), and reports in/out digital peaks via the SIMD peak scan.
+// Fresh implementation; WAV structures per the public RIFF/WAVE layout.
+
+#include <cerrno>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <sys/socket.h>
+#include <sys/un.h>
+#include <time.h>
+#include <unistd.h>
+
+// host runtime kernels (peak scan, PCM codecs, interleave)
+extern "C" {
+float prt_peak(const float*, size_t, float);
+void prt_pcm16_to_f32(const int16_t*, float*, size_t);
+void prt_f32_to_pcm16(const float*, int16_t*, size_t);
+void prt_pcm24_to_f32(const uint8_t*, float*, size_t);
+void prt_f32_to_pcm24(const float*, uint8_t*, size_t);
+}
+
+namespace {
+
+constexpr uint32_t kMagic = 0x50525431;  // "PRT1"
+constexpr uint32_t kInit = 1, kProc = 2, kBye = 3;
+constexpr uint32_t kInitOk = 101, kProcOk = 102, kLevels = 103, kErr = 199;
+
+struct Wav {
+  uint32_t rate = 0;
+  uint16_t channels = 0;
+  uint16_t bits = 0;
+  uint16_t format = 0;  // 1 = PCM, 3 = float
+  std::vector<float> samples;  // interleaved
+  size_t frames() const { return channels ? samples.size() / channels : 0; }
+};
+
+bool read_all(FILE* f, void* dst, size_t n) {
+  return fread(dst, 1, n, f) == n;
+}
+
+bool wav_read(const char* path, Wav* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { perror(path); return false; }
+  uint8_t hdr[12];
+  if (!read_all(f, hdr, 12) || memcmp(hdr, "RIFF", 4) ||
+      memcmp(hdr + 8, "WAVE", 4)) {
+    fprintf(stderr, "%s: not a RIFF/WAVE file\n", path);
+    fclose(f);
+    return false;
+  }
+  std::vector<uint8_t> data;
+  while (true) {
+    uint8_t ch[8];
+    if (!read_all(f, ch, 8)) break;
+    uint32_t size;
+    memcpy(&size, ch + 4, 4);
+    if (!memcmp(ch, "fmt ", 4)) {
+      std::vector<uint8_t> fmt(size);
+      if (!read_all(f, fmt.data(), size) || size < 16) break;
+      memcpy(&w->format, fmt.data(), 2);
+      memcpy(&w->channels, fmt.data() + 2, 2);
+      memcpy(&w->rate, fmt.data() + 4, 4);
+      memcpy(&w->bits, fmt.data() + 14, 2);
+      if (w->format == 0xFFFE && size >= 40)  // EXTENSIBLE: subformat
+        memcpy(&w->format, fmt.data() + 24, 2);
+    } else if (!memcmp(ch, "data", 4)) {
+      data.resize(size);
+      if (!read_all(f, data.data(), size)) {
+        fprintf(stderr, "%s: truncated data chunk\n", path);
+        fclose(f);
+        return false;
+      }
+    } else {
+      fseek(f, size + (size & 1), SEEK_CUR);
+      continue;
+    }
+    if (size & 1) fseek(f, 1, SEEK_CUR);
+  }
+  fclose(f);
+  if (!w->rate || !w->channels || data.empty()) {
+    fprintf(stderr, "%s: missing fmt/data\n", path);
+    return false;
+  }
+  size_t n;
+  if (w->format == 3 && w->bits == 32) {
+    n = data.size() / 4;
+    w->samples.resize(n);
+    memcpy(w->samples.data(), data.data(), n * 4);
+  } else if (w->format == 1 && w->bits == 16) {
+    n = data.size() / 2;
+    w->samples.resize(n);
+    prt_pcm16_to_f32(reinterpret_cast<int16_t*>(data.data()),
+                     w->samples.data(), n);
+  } else if (w->format == 1 && w->bits == 24) {
+    n = data.size() / 3;
+    w->samples.resize(n);
+    prt_pcm24_to_f32(data.data(), w->samples.data(), n);
+  } else if (w->format == 1 && w->bits == 32) {
+    n = data.size() / 4;
+    w->samples.resize(n);
+    const int32_t* p = reinterpret_cast<int32_t*>(data.data());
+    for (size_t i = 0; i < n; ++i)
+      w->samples[i] = static_cast<float>(p[i]) / 2147483648.0f;
+  } else {
+    fprintf(stderr, "%s: unsupported format %u/%u-bit\n", path, w->format,
+            w->bits);
+    return false;
+  }
+  return true;
+}
+
+bool wav_write_f32(const char* path, const Wav& w) {
+  FILE* f = fopen(path, "wb");
+  if (!f) { perror(path); return false; }
+  uint32_t dsz = static_cast<uint32_t>(w.samples.size() * 4);
+  uint32_t riff = 4 + 8 + 16 + 8 + dsz;
+  uint16_t fmt3 = 3, ch = w.channels, bits = 32;
+  uint32_t brate = w.rate * ch * 4;
+  uint16_t balign = ch * 4;
+  fwrite("RIFF", 1, 4, f); fwrite(&riff, 4, 1, f);
+  fwrite("WAVEfmt ", 1, 8, f);
+  uint32_t fsz = 16;
+  fwrite(&fsz, 4, 1, f); fwrite(&fmt3, 2, 1, f); fwrite(&ch, 2, 1, f);
+  fwrite(&w.rate, 4, 1, f); fwrite(&brate, 4, 1, f);
+  fwrite(&balign, 2, 1, f); fwrite(&bits, 2, 1, f);
+  fwrite("data", 1, 4, f); fwrite(&dsz, 4, 1, f);
+  fwrite(w.samples.data(), 4, w.samples.size(), f);
+  fclose(f);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+
+struct Conn {
+  int fd = -1;
+  bool send_exact(const void* p, size_t n) {
+    const char* c = static_cast<const char*>(p);
+    while (n) {
+      ssize_t k = write(fd, c, n);
+      if (k <= 0) return false;
+      c += k; n -= k;
+    }
+    return true;
+  }
+  bool recv_exact(void* p, size_t n) {
+    char* c = static_cast<char*>(p);
+    while (n) {
+      ssize_t k = read(fd, c, n);
+      if (k <= 0) return false;
+      c += k; n -= k;
+    }
+    return true;
+  }
+  bool send_msg(uint32_t type, const void* payload, uint32_t len) {
+    uint32_t hdr[2] = {type, len};
+    return send_exact(hdr, 8) && (len == 0 || send_exact(payload, len));
+  }
+  bool recv_msg(uint32_t* type, std::vector<uint8_t>* payload) {
+    uint32_t hdr[2];
+    if (!recv_exact(hdr, 8)) return false;
+    *type = hdr[0];
+    payload->resize(hdr[1]);
+    return hdr[1] == 0 || recv_exact(payload->data(), hdr[1]);
+  }
+};
+
+void usage() {
+  fprintf(stderr,
+          "Usage: prt_bridge [options] <in.wav> [out.wav]\n"
+          "  -s <path>   engine socket (default /tmp/phaserotate_tpu.sock)\n"
+          "  -a <deg[,deg]> rotation angle(s), default 0\n"
+          "  -b <n>      block size in frames (default 1024)\n"
+          "  -r          pace at 1x realtime\n");
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string sock_path = "/tmp/phaserotate_tpu.sock";
+  const char* env = getenv("PHASEROTATE_TPU_SOCKET");
+  if (env && *env) sock_path = env;
+  double angle0 = 0.0, angle1 = 0.0;
+  bool have_angle1 = false, realtime = false;
+  long block = 1024;
+  int opt;
+  while ((opt = getopt(argc, argv, "s:a:b:rh")) != -1) {
+    switch (opt) {
+      case 's': sock_path = optarg; break;
+      case 'a': {
+        char* comma = strchr(optarg, ',');
+        angle0 = atof(optarg);
+        if (comma) { angle1 = atof(comma + 1); have_angle1 = true; }
+        break;
+      }
+      case 'b': block = atol(optarg); break;
+      case 'r': realtime = true; break;
+      default: usage(); return opt == 'h' ? 0 : 1;
+    }
+  }
+  if (optind >= argc || block < 1 || block > (1 << 20)) { usage(); return 1; }
+  const char* in_path = argv[optind];
+  const char* out_path = optind + 1 < argc ? argv[optind + 1] : nullptr;
+
+  Wav in;
+  if (!wav_read(in_path, &in)) return 1;
+  uint16_t ch = in.channels > 2 ? 2 : in.channels;
+  if (!have_angle1) angle1 = angle0;
+
+  Conn conn;
+  conn.fd = socket(AF_UNIX, SOCK_STREAM, 0);
+  sockaddr_un addr{};
+  addr.sun_family = AF_UNIX;
+  snprintf(addr.sun_path, sizeof addr.sun_path, "%s", sock_path.c_str());
+  if (connect(conn.fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr)) {
+    fprintf(stderr, "cannot connect to engine at %s: %s\n"
+            "start it with: python -m phaserotate_tpu.bridge --socket %s\n",
+            sock_path.c_str(), strerror(errno), sock_path.c_str());
+    return 1;
+  }
+  if (!conn.send_exact(&kMagic, 4)) return 1;
+  uint32_t init[2] = {in.rate, ch};
+  if (!conn.send_msg(kInit, init, 8)) return 1;
+  uint32_t rtype;
+  std::vector<uint8_t> reply;
+  if (!conn.recv_msg(&rtype, &reply) || rtype != kInitOk) {
+    fprintf(stderr, "engine INIT failed: %.*s\n",
+            static_cast<int>(reply.size()),
+            reinterpret_cast<char*>(reply.data()));
+    return 1;
+  }
+  uint32_t latency;
+  memcpy(&latency, reply.data(), 4);
+  fprintf(stderr, "connected: rate %u, %u ch, latency %u frames\n", in.rate,
+          ch, latency);
+
+  const size_t n = in.frames();
+  const size_t total = n + latency;  // flush latency worth of zeros
+  std::vector<float> out_stream;
+  out_stream.reserve(out_path ? total * ch : 0);
+  float angles[2] = {static_cast<float>(angle0), static_cast<float>(angle1)};
+  std::vector<uint8_t> msg;
+  float peak_in = 0.0f, peak_out = 0.0f;
+  timespec t0;
+  clock_gettime(CLOCK_MONOTONIC, &t0);
+
+  for (size_t pos = 0; pos < total; pos += block) {
+    const size_t m = total - pos < static_cast<size_t>(block)
+                         ? total - pos : static_cast<size_t>(block);
+    msg.assign(4 + 4 * ch + 4 * m * ch, 0);
+    uint32_t mu = static_cast<uint32_t>(m);
+    memcpy(msg.data(), &mu, 4);
+    memcpy(msg.data() + 4, angles, 4 * ch);
+    float* body = reinterpret_cast<float*>(msg.data() + 4 + 4 * ch);
+    for (size_t i = 0; i < m; ++i) {
+      const size_t fr = pos + i;
+      for (size_t c = 0; c < ch; ++c)
+        body[i * ch + c] =
+            fr < n ? in.samples[fr * in.channels + c] : 0.0f;
+    }
+    peak_in = prt_peak(body, m * ch, peak_in);
+    if (!conn.send_msg(kProc, msg.data(), msg.size())) {
+      fprintf(stderr, "engine connection lost\n");
+      return 1;
+    }
+    if (!conn.recv_msg(&rtype, &reply) || rtype != kProcOk) {
+      fprintf(stderr, "PROC failed: %.*s\n",
+              static_cast<int>(reply.size()),
+              reinterpret_cast<char*>(reply.data()));
+      return 1;
+    }
+    const float* got = reinterpret_cast<float*>(reply.data() + 4);
+    peak_out = prt_peak(got, m * ch, peak_out);
+    if (out_path)
+      out_stream.insert(out_stream.end(), got, got + m * ch);
+    if (realtime) {
+      timespec now;
+      clock_gettime(CLOCK_MONOTONIC, &now);
+      double elapsed = (now.tv_sec - t0.tv_sec) +
+                       (now.tv_nsec - t0.tv_nsec) * 1e-9;
+      double due = static_cast<double>(pos + m) / in.rate;
+      if (due > elapsed) {
+        timespec ts;
+        ts.tv_sec = static_cast<time_t>(due - elapsed);
+        ts.tv_nsec = static_cast<long>(((due - elapsed) - ts.tv_sec) * 1e9);
+        nanosleep(&ts, nullptr);
+      }
+    }
+  }
+  conn.send_msg(kBye, nullptr, 0);
+  close(conn.fd);
+
+  if (out_path) {
+    // latency-compensated trim: drop the first `latency` frames, keep n
+    Wav out;
+    out.rate = in.rate;
+    out.channels = ch;
+    out.samples.assign(out_stream.begin() + latency * ch,
+                       out_stream.begin() + (latency + n) * ch);
+    if (!wav_write_f32(out_path, out)) return 1;
+    fprintf(stderr, "wrote %s (%zu frames, latency %u compensated)\n",
+            out_path, n, latency);
+  }
+  fprintf(stderr, "peak in %.6f  peak out %.6f\n", peak_in, peak_out);
+  return 0;
+}

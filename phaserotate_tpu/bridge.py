@@ -1,0 +1,272 @@
+"""Engine daemon: stream audio through the TPU plugin from any process.
+
+The reference's product forms are a loadable LV2 plugin and a JACK
+standalone (src/phaserotate.c:860-893, Makefile:250-257) — native binaries
+an audio host dlopens or spawns.  A TPU engine cannot live inside a DAW's
+process, so the framework splits the plugin across a process boundary:
+
+* this daemon owns the plugin instance (lifecycle, metering, TPU engine)
+  and serves a Unix-domain socket;
+* native clients — the ``prt_bridge`` file streamer and the
+  ``phaserotate_tpu.so`` LV2 shim (native/) — speak a tiny length-prefixed
+  binary protocol, so **no client ever imports Python**.
+
+Protocol (all little-endian, fixed 8-byte header ``u32 type, u32 len``):
+
+    client -> server
+      INIT  (1): u32 rate, u32 channels            (first message)
+      PROC  (2): u32 n_frames, f32 angle_deg[channels],
+                 f32 samples[n_frames*channels]     (interleaved)
+      BYE   (3): empty
+    server -> client
+      INIT_OK (101): u32 latency_frames, u32 parsiz, u32 channels
+      PROC_OK (102): u32 n_frames, f32 samples[n_frames*channels]
+      LEVELS  (103): appended after PROC_OK when metering is on:
+                 u32 channels, 9 x f32 per channel (the level fields of
+                 the reference's 'levels' atom, src/phaserotate.c:741-771)
+      ERR     (199): utf-8 message (connection closes after)
+
+Run:  python -m phaserotate_tpu.bridge --socket /tmp/phaserotate_tpu.sock
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import struct
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+MAGIC = 0x50525431  # "PRT1"
+T_INIT, T_PROC, T_BYE = 1, 2, 3
+T_INIT_OK, T_PROC_OK, T_LEVELS, T_ERR = 101, 102, 103, 199
+MAX_FRAMES = 1 << 20
+DEFAULT_SOCKET = "/tmp/phaserotate_tpu.sock"
+
+__all__ = ["serve", "BridgeClient", "DEFAULT_SOCKET", "main"]
+
+
+def _recv_exact(conn: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_msg(conn: socket.socket) -> Tuple[int, bytes]:
+    hdr = _recv_exact(conn, 8)
+    mtype, mlen = struct.unpack("<II", hdr)
+    if mlen > 16 * MAX_FRAMES:
+        raise ConnectionError(f"oversized message ({mlen} bytes)")
+    return mtype, _recv_exact(conn, mlen) if mlen else b""
+
+
+def _send_msg(conn: socket.socket, mtype: int, payload: bytes = b"") -> None:
+    conn.sendall(struct.pack("<II", mtype, len(payload)) + payload)
+
+
+class _Session:
+    """One connection = one plugin instance with wired ports."""
+
+    def __init__(self, rate: int, channels: int, meters: bool):
+        from .plugin.descriptors import descriptor_for_channels
+        from .plugin.lifecycle import PhaseRotatePlugin
+        from .plugin.uris import PortIndex
+
+        if channels not in (1, 2):
+            raise ValueError(f"channels must be 1 or 2, got {channels}")
+        if not (8000 <= rate <= 768000):
+            raise ValueError(f"implausible sample rate {rate}")
+        self.channels = channels
+        desc = descriptor_for_channels(channels)
+        self.plugin = PhaseRotatePlugin(desc.uri, rate)
+        self.control: List = []
+        self.notify: List = []
+        self.latency = np.zeros(1, np.float32)
+        self.angles = [np.zeros(1, np.float32) for _ in range(channels)]
+        self.bufs = [np.zeros(MAX_FRAMES, np.float32)
+                     for _ in range(channels)]
+        p = self.plugin
+        p.connect_port(PortIndex.ATOM_CONTROL, self.control)
+        p.connect_port(PortIndex.ATOM_NOTIFY, self.notify)
+        p.connect_port(PortIndex.LATENCY, self.latency)
+        for c in range(channels):
+            base = 3 + 3 * c
+            p.connect_port(base, self.angles[c])
+            p.connect_port(base + 1, self.bufs[c])
+            p.connect_port(base + 2, self.bufs[c])  # in-place pair
+        p.activate()
+        self.meters = meters
+        if meters:
+            from .plugin.protocol import UiOn
+
+            self.control.append(UiOn())
+
+    def process(self, n: int, angles: np.ndarray,
+                samples: np.ndarray) -> Tuple[np.ndarray, Optional[list]]:
+        x = samples.reshape(n, self.channels).T
+        for c in range(self.channels):
+            self.angles[c][0] = angles[c]
+            self.bufs[c][:n] = x[c]
+        self.plugin.run(n)
+        out = np.stack([self.bufs[c][:n] for c in range(self.channels)])
+        levels = None
+        if self.meters:
+            from .plugin.protocol import LevelsMsg
+
+            levels = [m for m in self.notify if isinstance(m, LevelsMsg)]
+            self.notify.clear()
+        return out.T.reshape(-1).astype(np.float32), levels
+
+
+def _handle(conn: socket.socket, meters: bool) -> None:
+    if struct.unpack("<I", _recv_exact(conn, 4))[0] != MAGIC:
+        _send_msg(conn, T_ERR, b"bad magic")
+        return
+    session: Optional[_Session] = None
+    while True:
+        mtype, payload = _recv_msg(conn)
+        if mtype == T_BYE:
+            return
+        if mtype == T_INIT:
+            try:
+                rate, channels = struct.unpack("<II", payload)
+                session = _Session(rate, channels, meters)
+            except Exception as e:  # validation error -> report, drop
+                _send_msg(conn, T_ERR, str(e).encode())
+                return
+            _send_msg(conn, T_INIT_OK, struct.pack(
+                "<III", session.plugin.latency, session.plugin.geom.parsiz,
+                channels))
+        elif mtype == T_PROC:
+            if session is None:
+                _send_msg(conn, T_ERR, b"PROC before INIT")
+                return
+            (n,) = struct.unpack_from("<I", payload, 0)
+            ch = session.channels
+            want = 4 + 4 * ch + 4 * n * ch
+            if n > MAX_FRAMES or len(payload) != want:
+                _send_msg(conn, T_ERR, b"bad PROC payload")
+                return
+            angles = np.frombuffer(payload, np.float32, ch, 4)
+            samples = np.frombuffer(payload, np.float32, n * ch, 4 + 4 * ch)
+            out, levels = session.process(n, angles, samples)
+            _send_msg(conn, T_PROC_OK,
+                      struct.pack("<I", n) + out.tobytes())
+            if levels is not None:
+                blob = struct.pack("<I", len(levels))
+                for lv in levels:
+                    blob += struct.pack(
+                        "<I9f", lv.channel, lv.in_cur, lv.in_mom,
+                        lv.in_peak, lv.out_cur, lv.out_mom, lv.out_peak,
+                        lv.diff_cur, lv.diff_min, lv.diff_max)
+                _send_msg(conn, T_LEVELS, blob)
+        else:
+            _send_msg(conn, T_ERR, f"unknown type {mtype}".encode())
+            return
+
+
+def serve(path: str, once: bool = False, meters: bool = False,
+          ready_fd: Optional[int] = None) -> None:
+    """Serve plugin sessions on a Unix socket at ``path``.
+
+    One client at a time (the TPU is single-owner); ``once`` exits after
+    the first connection closes (test harness); ``ready_fd`` gets a byte
+    written once listening (race-free subprocess startup).
+    """
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    try:
+        srv.bind(path)
+        srv.listen(1)
+        if ready_fd is not None:
+            os.write(ready_fd, b"R")
+            os.close(ready_fd)
+        while True:
+            conn, _ = srv.accept()
+            try:
+                _handle(conn, meters)
+            except ConnectionError:
+                pass
+            finally:
+                conn.close()
+            if once:
+                return
+    finally:
+        srv.close()
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+
+class BridgeClient:
+    """Python-side protocol client (tests + in-process tooling; the
+    production clients are the native ones in native/)."""
+
+    def __init__(self, path: str, rate: int, channels: int):
+        self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self.sock.connect(path)
+        self.channels = channels
+        self.sock.sendall(struct.pack("<I", MAGIC))
+        _send_msg(self.sock, T_INIT, struct.pack("<II", rate, channels))
+        mtype, payload = _recv_msg(self.sock)
+        if mtype != T_INIT_OK:
+            raise RuntimeError(payload.decode(errors="replace"))
+        self.latency, self.parsiz, _ = struct.unpack("<III", payload)
+        self.levels: list = []
+
+    def process(self, block: np.ndarray, angles) -> np.ndarray:
+        """block: (channels, n) float32 -> same shape, delayed output."""
+        x = np.asarray(block, np.float32).reshape(self.channels, -1)
+        n = x.shape[1]
+        degs = np.broadcast_to(
+            np.asarray(angles, np.float32), (self.channels,))
+        payload = (struct.pack("<I", n) + degs.tobytes()
+                   + x.T.reshape(-1).astype(np.float32).tobytes())
+        _send_msg(self.sock, T_PROC, payload)
+        mtype, reply = _recv_msg(self.sock)
+        if mtype != T_PROC_OK:
+            raise RuntimeError(reply.decode(errors="replace"))
+        (rn,) = struct.unpack_from("<I", reply, 0)
+        out = np.frombuffer(reply, np.float32, rn * self.channels, 4)
+        return out.reshape(rn, self.channels).T.copy()
+
+    def close(self) -> None:
+        try:
+            _send_msg(self.sock, T_BYE)
+        except OSError:
+            pass
+        self.sock.close()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="phaserotate-bridge",
+        description="TPU phase-rotation engine daemon (Unix socket).")
+    ap.add_argument("--socket", default=DEFAULT_SOCKET)
+    ap.add_argument("--once", action="store_true",
+                    help="exit after the first connection closes")
+    ap.add_argument("--meters", action="store_true",
+                    help="stream meter levels after every block")
+    ap.add_argument("--ready-fd", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    args = ap.parse_args(argv)
+    print(f"phaserotate_tpu bridge: listening on {args.socket}",
+          file=sys.stderr)
+    serve(args.socket, once=args.once, meters=args.meters,
+          ready_fd=args.ready_fd)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -136,11 +136,33 @@ def manifest_ttl(binary: str = "phaserotate_tpu.so") -> str:
 
 
 def write_bundle(directory: str) -> None:
-    """Write manifest.ttl + phaserotate_tpu.ttl into ``directory``."""
+    """Write a loadable LV2 bundle: manifest.ttl, phaserotate_tpu.ttl and
+    the ``phaserotate_tpu.so`` plugin binary (the native engine-socket
+    shim, built from native/prt_lv2.cc — the manifest must never point at
+    a binary that does not exist)."""
     import os
+    import shutil
+    import subprocess
 
     os.makedirs(directory, exist_ok=True)
     with open(os.path.join(directory, "manifest.ttl"), "w") as f:
         f.write(manifest_ttl())
     with open(os.path.join(directory, "phaserotate_tpu.ttl"), "w") as f:
         f.write(plugin_ttl())
+
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "native")
+    so = os.path.join(native_dir, "phaserotate_tpu.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", native_dir, "phaserotate_tpu.so"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            pass
+    if os.path.exists(so):
+        shutil.copy2(so, os.path.join(directory, "phaserotate_tpu.so"))
+    else:  # no toolchain: an honest bundle must not reference a ghost
+        raise RuntimeError(
+            "native/phaserotate_tpu.so missing and could not be built; "
+            "run `make -C native` first")
