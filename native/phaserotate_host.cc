@@ -19,6 +19,9 @@
 #if defined(__x86_64__) || defined(_M_X64)
 #include <immintrin.h>
 #define PRT_X86 1
+#elif defined(__aarch64__) || defined(__ARM_NEON)
+#include <arm_neon.h>
+#define PRT_NEON 1
 #endif
 
 extern "C" {
@@ -82,10 +85,53 @@ static float peak_sse2(const float* buf, size_t n, float current) {
 }
 #endif
 
+#ifdef PRT_NEON
+static float peak_neon(const float* buf, size_t n, float current) {
+  float32x4_t acc0 = vdupq_n_f32(0.0f);
+  float32x4_t acc1 = vdupq_n_f32(0.0f);
+  float32x4_t acc2 = vdupq_n_f32(0.0f);
+  float32x4_t acc3 = vdupq_n_f32(0.0f);
+  size_t i = 0;
+  // 16 floats per iteration, four independent accumulator chains
+  for (; i + 16 <= n; i += 16) {
+    acc0 = vmaxq_f32(acc0, vabsq_f32(vld1q_f32(buf + i)));
+    acc1 = vmaxq_f32(acc1, vabsq_f32(vld1q_f32(buf + i + 4)));
+    acc2 = vmaxq_f32(acc2, vabsq_f32(vld1q_f32(buf + i + 8)));
+    acc3 = vmaxq_f32(acc3, vabsq_f32(vld1q_f32(buf + i + 12)));
+  }
+  acc0 = vmaxq_f32(vmaxq_f32(acc0, acc1), vmaxq_f32(acc2, acc3));
+  float pk = vmaxvq_f32(acc0);  // horizontal max
+  if (pk < current) pk = current;
+  return peak_scalar(buf + i, n - i, pk);
+}
+
+static float rotated_peak_neon(const float* b0, const float* b1, size_t n,
+                               float ca, float sa, float pk) {
+  const float32x4_t vca = vdupq_n_f32(ca);
+  const float32x4_t vsa = vdupq_n_f32(sa);
+  float32x4_t acc = vdupq_n_f32(0.0f);
+  size_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    float32x4_t v = vmlaq_f32(vmulq_f32(vca, vld1q_f32(b0 + i)), vsa,
+                              vld1q_f32(b1 + i));
+    acc = vmaxq_f32(acc, vabsq_f32(v));
+  }
+  float v = vmaxvq_f32(acc);
+  if (v > pk) pk = v;
+  for (; i < n; ++i) {
+    float w = std::fabs(ca * b0[i] + sa * b1[i]);
+    if (w > pk) pk = w;
+  }
+  return pk;
+}
+#endif
+
 float prt_peak(const float* buf, size_t n, float current) {
 #ifdef PRT_X86
   if (__builtin_cpu_supports("avx2")) return peak_avx2(buf, n, current);
   return peak_sse2(buf, n, current);
+#elif defined(PRT_NEON)
+  return peak_neon(buf, n, current);
 #else
   return peak_scalar(buf, n, current);
 #endif
@@ -129,6 +175,8 @@ float prt_rotated_peak(const float* b0, const float* b1, size_t n,
 #ifdef PRT_X86
   if (__builtin_cpu_supports("avx2"))
     return rotated_peak_avx2(b0, b1, n, ca, sa, pk);
+#elif defined(PRT_NEON)
+  return rotated_peak_neon(b0, b1, n, ca, sa, pk);
 #endif
   for (size_t i = 0; i < n; ++i) {
     float w = std::fabs(ca * b0[i] + sa * b1[i]);

@@ -250,6 +250,9 @@ class BridgeClient:
 
 
 def main(argv=None) -> int:
+    from .utils.platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(
         prog="phaserotate-bridge",
         description="TPU phase-rotation engine daemon (Unix socket).")

@@ -106,6 +106,9 @@ def _print_gnuplot_row(table: np.ndarray, a: int, n_channels: int) -> None:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from .utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = _build_parser().parse_args(argv)
 
     if args.version:
@@ -134,11 +137,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     n_channels = audio.shape[0]
 
     if verbose > 2:
+        # file-log dump, the role of the reference's libsndfile log
+        # (cli/phase-rotate.cc:704-716)
+        n_frames = audio.shape[1]
+        dur = n_frames / rate
         print(f"File: {args.file}", file=verbose_fd)
         print(f"RIFF/WAVE, {n_channels} channels @ {rate} Hz, "
-              f"{audio.shape[1]} frames", file=verbose_fd)
+              f"{n_frames} frames ({dur:.3f} s)", file=verbose_fd)
         for cid, text in meta.info.items():
             print(f"  {cid.decode()}: {text}", file=verbose_fd)
+        if meta.cues is not None:
+            print(f"  cue chunk: {len(meta.cues)} bytes", file=verbose_fd)
+        if meta.bext is not None:
+            print(f"  broadcast info (bext): {len(meta.bext)} bytes",
+                  file=verbose_fd)
+        for cid, payload in meta.other:
+            print(f"  chunk {cid.decode(errors='replace')!r}: "
+                  f"{len(payload)} bytes", file=verbose_fd)
     elif verbose:
         print(f"Input File      : {args.file}", file=verbose_fd)
         print(f"Sample Rate     : {rate} Hz", file=verbose_fd)

@@ -37,11 +37,13 @@ def warmup_stream(geom: StreamGeometry, channels: int = 1) -> None:
     import jax.numpy as jnp
 
     from ..meter import MeterConfig, init_meter_state, meter_block, meter_falloff
-    from ..stream.engine import init_state, stream_step
+    from ..stream.engine import init_state, stream_step_batched
 
-    state = init_state(geom)
-    frame = jnp.zeros(geom.parsiz, jnp.float32)
-    st, out = stream_step(state, frame, 0.0, geom)
+    # the host shells dispatch the channel-batched step — warm that shape
+    state = init_state(geom, (channels,))
+    frames = jnp.zeros((channels, geom.parsiz), jnp.float32)
+    st, out = stream_step_batched(
+        state, frames, jnp.zeros(channels, jnp.float32), geom)
     out.block_until_ready()
 
     cfg = MeterConfig(rate=geom.rate, latency=geom.latency)
@@ -67,7 +69,7 @@ def warmup_offline(
 
     for n in lengths:
         x = jnp.zeros((channels, int(n)), jnp.float32)
-        t, r = _sweep_impl(x, geom, 2048)
+        t, r = _sweep_impl(x, geom, 4096)  # the production tile
         t.block_until_ready()
         _apply_impl(x, jnp.zeros((channels,), jnp.int32), geom)
 

@@ -69,6 +69,9 @@ class StandaloneHost:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from .utils.platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(
         prog="phase-rotate-host",
         description="Standalone streaming host for the TPU phase rotator.")
@@ -82,6 +85,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="live terminal meters while processing")
     ap.add_argument("--realtime", action="store_true",
                     help="pace processing at 1x realtime")
+    ap.add_argument("--ui", action="store_true",
+                    help="interactive terminal UI: turn the dial while "
+                         "the audio streams (loops the file; q quits)")
     args = ap.parse_args(argv)
 
     audio, rate, meta = read_wav(args.infile)
@@ -89,6 +95,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     audio = audio[:channels]
     host = StandaloneHost(rate, channels, args.block)
     host.set_angles(args.angle)
+
+    if args.ui:
+        from .tui import run_tui
+
+        for c in range(channels):
+            host.ui.dials[c].set_value(args.angle)
+        ui_outs = run_tui(host, audio, rate, args.block,
+                          loop=args.outfile is None)
+        if args.outfile:
+            lat = int(host.latency[0])
+            block = args.block
+            for _ in range(-(-lat // block)):
+                ui_outs.append(
+                    host.process(np.zeros((channels, block), np.float32)))
+            stream = np.concatenate(ui_outs, axis=1)
+            n = audio.shape[1]
+            write_wav(args.outfile, stream[:, lat : lat + n], rate, meta)
+            print(f"wrote {args.outfile} ({n} frames, latency {lat} "
+                  "compensated)")
+        return 0
     if args.meters:
         host.ui.open()
 

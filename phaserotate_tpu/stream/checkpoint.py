@@ -23,17 +23,26 @@ _FIELDS = ("spec_hist", "time_hist", "tail", "angle")
 
 
 def save_stream_state(path: str, state: StreamState,
-                      geom: Optional[StreamGeometry] = None) -> None:
-    """Serialize a :class:`StreamState` (any batch shape) to ``path``."""
+                      geom: Optional[StreamGeometry] = None,
+                      host: Optional[dict] = None) -> None:
+    """Serialize a :class:`StreamState` (any batch shape) to ``path``.
+
+    ``host`` optionally carries host-shell staging arrays (the partial
+    frame and the staged output block a StreamingRotator holds between
+    device dispatches) so a resumed stream is bit-identical from the very
+    first sample, not just from the next frame boundary.
+    """
     payload = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
     if geom is not None:
         payload["__geom__"] = np.array(
             [geom.rate, geom.fftlen, geom.firlen], np.float64)
+    for k, v in (host or {}).items():
+        payload[f"__host_{k}__"] = np.asarray(v)
     np.savez(path, **payload)
 
 
 def load_stream_state(path: str):
-    """Load a stream state; returns (state, geom_or_None)."""
+    """Load a stream state; returns (state, geom_or_None, host_dict)."""
     import jax.numpy as jnp
 
     with np.load(path) as z:
@@ -44,4 +53,8 @@ def load_stream_state(path: str):
             rate, fftlen, firlen = z["__geom__"]
             geom = StreamGeometry(
                 rate=float(rate), fftlen=int(fftlen), firlen=int(firlen))
-    return state, geom
+        host = {
+            k[len("__host_"):-2]: z[k]
+            for k in z.files if k.startswith("__host_")
+        }
+    return state, geom, host

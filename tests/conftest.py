@@ -9,6 +9,11 @@ before the first jax import anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocesses spawned by tests (hostapp, TUI, bridge daemon) cannot rely
+# on JAX_PLATFORMS alone: the environment's TPU plugin overrides it at
+# interpreter startup.  Entry points honor this variable via
+# utils/platform.apply_platform_env and re-force the CPU backend.
+os.environ["PHASEROTATE_TPU_PLATFORM"] = "cpu"
 
 import jax  # noqa: E402
 

@@ -90,3 +90,53 @@ def test_warmup_plans():
 
     warmup_stream(StreamGeometry(rate=48000, fftlen=512, firlen=3072))
     warmup_offline(OfflineGeometry(blksiz=1024), lengths=[2048])
+
+
+def test_phase_rotator_meters_and_reset(rng):
+    rot = PhaseRotator(rate=48000, channels=1)
+    x = (0.8 * rng.standard_normal(8192)).astype(np.float32)
+    rot.process(x, 35.0)
+    lv = rot.levels(0)
+    assert float(lv.in_peak) > 0.3  # loud input registered
+    assert float(lv.in_cur) >= 0.0
+    # flush the metering delay line before resetting, so nothing loud is
+    # still in flight (input meters are latency-aligned)
+    rot.process(np.zeros(rot.latency + 256, np.float32), 35.0)
+    rot.reset_peaks()
+    rot.process(np.zeros(256, np.float32), 35.0)
+    assert float(rot.levels(0).in_peak) < 0.3
+
+
+def test_phase_rotator_checkpoint_resume(tmp_path, rng):
+    """Save mid-stream, resume in a fresh rotator: outputs continue
+    bit-identically — even from the middle of a frame (the host staging
+    buffers are checkpointed along with the engine carry)."""
+    parsiz = 256  # 48k geometry
+    x = rng.standard_normal(16 * parsiz).astype(np.float32)
+    split = 8 * parsiz + 100  # mid-frame split
+    a, b = x[:split], x[split:]
+
+    ref = PhaseRotator(rate=48000, channels=1)
+    y_ref = np.concatenate([ref.process(a, 90.0), ref.process(b, 90.0)])
+
+    r1 = PhaseRotator(rate=48000, channels=1)
+    y1 = r1.process(a, 90.0)
+    path = str(tmp_path / "stream.npz")
+    r1.save(path)
+
+    r2 = PhaseRotator(rate=48000, channels=1)
+    r2.load(path)
+    y2 = r2.process(b, 90.0)
+    np.testing.assert_array_equal(np.concatenate([y1, y2]), y_ref)
+
+
+def test_phase_rotator_checkpoint_validation(tmp_path):
+    r1 = PhaseRotator(rate=48000, channels=1)
+    path = str(tmp_path / "s.npz")
+    r1.save(path)
+    r2 = PhaseRotator(rate=48000, channels=2)
+    with pytest.raises(ValueError, match="channels"):
+        r2.load(path)
+    r3 = PhaseRotator(rate=96000, channels=1)
+    with pytest.raises(ValueError, match="geometry"):
+        r3.load(path)
