@@ -22,14 +22,18 @@ test:
 bench:
 	$(PYTHON) bench.py
 
-man: doc/phase-rotate.1
+man: doc/phase-rotate.1 doc/prt_bridge.1 doc/phaserotate-bridge.1
 
 install: native bundle
 	install -d $(DESTDIR)$(PREFIX)/lib/lv2/phaserotate_tpu.lv2
 	install -m644 build/phaserotate_tpu.lv2/*.ttl \
 	  $(DESTDIR)$(PREFIX)/lib/lv2/phaserotate_tpu.lv2/
+	install -m755 build/phaserotate_tpu.lv2/phaserotate_tpu.so \
+	  $(DESTDIR)$(PREFIX)/lib/lv2/phaserotate_tpu.lv2/
+	install -d $(DESTDIR)$(PREFIX)/bin
+	install -m755 native/prt_bridge $(DESTDIR)$(PREFIX)/bin/
 	install -d $(DESTDIR)$(PREFIX)/share/man/man1
-	install -m644 doc/phase-rotate.1 $(DESTDIR)$(PREFIX)/share/man/man1/
+	install -m644 doc/*.1 $(DESTDIR)$(PREFIX)/share/man/man1/
 
 clean:
 	$(MAKE) -C native clean

@@ -12,7 +12,10 @@ from .deflect import (
 )
 from .render import (
     faceplate_svg,
+    meter_pattern,
+    meter_svg,
     render_channel,
+    render_ruler,
     render_delta_bar,
     render_meter_bar,
 )
@@ -30,7 +33,10 @@ __all__ = [
     "deflect_delta",
     "deflect_meter",
     "faceplate_svg",
+    "meter_pattern",
+    "meter_svg",
     "render_channel",
+    "render_ruler",
     "render_delta_bar",
     "render_meter_bar",
 ]

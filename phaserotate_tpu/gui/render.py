@@ -1,18 +1,25 @@
 """Meter and faceplate rendering.
 
-Two render targets replacing the reference's cairo drawing
+Render targets replacing the reference's cairo drawing
 (gui/phaserotate.c:218-759 meters, :117-177 dial faceplates):
 
 * ANSI terminal bars for the standalone host's live display — the same
-  deflection geometry, peak-hold markers and bidirectional gain-delta bar;
-* SVG dial faceplate with tick dots and labels at 45-degree marks (the
-  pre-rendered cairo surfaces of prepare_faceplates).
+  deflection geometry, peak-hold markers and bidirectional gain-delta
+  bar; optionally 256-color with the level-meter gradient;
+* cached per-width "patterns" (gradient cell colors + tick positions),
+  the role of the reference's pre-rendered cairo gradient surfaces
+  (create_meter_pattern / create_meter_ticks, gui/phaserotate.c:256-532)
+  — computed once per width, reused every frame;
+* SVG meter widget (gradient bar, tick marks with dB labels, momentary
+  cap, peak-hold line, bidirectional delta bar) and SVG dial faceplate
+  with tick dots and labels at 45-degree marks (prepare_faceplates).
 """
 
 from __future__ import annotations
 
+import functools
 import math
-from typing import List
+from typing import List, Tuple
 
 from .client import MeterValues
 from .deflect import (
@@ -24,14 +31,78 @@ from .deflect import (
     deflect_meter,
 )
 
-__all__ = ["render_meter_bar", "render_delta_bar", "render_channel",
-           "faceplate_svg"]
+__all__ = [
+    "render_meter_bar",
+    "render_delta_bar",
+    "render_channel",
+    "render_ruler",
+    "meter_pattern",
+    "meter_svg",
+    "faceplate_svg",
+]
+
+# level-meter gradient color stops in dBFS: green up to -18, yellow to
+# -9, orange to -3, red above — the standard program-meter zones the
+# reference's gradient pattern encodes (gui/phaserotate.c:256-330 role)
+_GRADIENT_STOPS_DB: Tuple[Tuple[float, str, int], ...] = (
+    (-18.0, "#2a2", 34),   # green  (xterm-256 34)
+    (-9.0, "#cc2", 184),   # yellow (184)
+    (-3.0, "#e82", 208),   # orange (208)
+    (6.0, "#e33", 196),    # red    (196)
+)
+
+
+@functools.lru_cache(maxsize=16)
+def meter_pattern(width: int) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Cached per-width meter pattern.
+
+    Returns ``(cell_colors, tick_cells)``: an xterm-256 color index per
+    bar cell (the gradient), and the cell index of every dB tick from
+    METER_TICKS_DB.  Computed once per width like the reference caches
+    its cairo pattern surfaces per size (gui/phaserotate.c:256-330).
+    """
+    colors = []
+    for i in range(width):
+        # cell center position -> dB on the -80..+6 scale
+        db = (i + 0.5) * 86.0 / width - 80.0
+        for stop_db, _, xterm in _GRADIENT_STOPS_DB:
+            if db <= stop_db:
+                colors.append(xterm)
+                break
+        else:
+            colors.append(_GRADIENT_STOPS_DB[-1][2])
+    ticks = tuple(
+        int(deflect_dbfs(width, db)) for db in METER_TICKS_DB
+        if 0 <= int(deflect_dbfs(width, db)) < width
+    )
+    return tuple(colors), ticks
+
+
+def render_ruler(width: int = 60, indent: int = 8) -> str:
+    """dB scale row aligned under the meter bars (create_meter_ticks
+    role, gui/phaserotate.c:332-430): tick marks with labels."""
+    _, ticks = meter_pattern(width)
+    cells = [" "] * width
+    for t in ticks:
+        cells[t] = "'"
+    row = " " * indent + "[" + "".join(cells) + "]"
+    labels = [" "] * (width + 2)
+    for db, t in zip(
+        [d for d in METER_TICKS_DB
+         if 0 <= int(deflect_dbfs(width, d)) < width], ticks
+    ):
+        text = str(db)
+        start = max(0, min(t + 1 - len(text) // 2, width + 2 - len(text)))
+        for j, ch in enumerate(text):
+            labels[start + j] = ch
+    return row + "\n" + " " * indent + "".join(labels)
 
 
 def render_meter_bar(value: float, momentary: float, peak: float,
-                     width: int = 60) -> str:
+                     width: int = 60, color: bool = False) -> str:
     """One level meter line: live bar, momentary cap, peak-hold marker
-    (the drawing logic of gui/phaserotate.c:534-615)."""
+    (the drawing logic of gui/phaserotate.c:534-615).  With ``color``
+    the live bar uses the cached gradient pattern (256-color ANSI)."""
     cells = [" "] * width
     live = int(deflect_meter(width, value))
     for i in range(min(live, width)):
@@ -42,6 +113,20 @@ def render_meter_bar(value: float, momentary: float, peak: float,
     pk = int(deflect_meter(width, peak))
     if 0 < pk <= width:
         cells[pk - 1] = "|"
+    if color:
+        colors, ticks = meter_pattern(width)
+        for t in ticks:
+            if cells[t] == " ":
+                cells[t] = "."
+        out = []
+        for i, ch in enumerate(cells):
+            if ch in ("=", "#"):
+                out.append(f"\x1b[38;5;{colors[i]}m{ch}\x1b[0m")
+            elif ch == "|":
+                out.append(f"\x1b[1m{ch}\x1b[0m")
+            else:
+                out.append(ch)
+        return "[" + "".join(out) + "]"
     return "[" + "".join(cells) + "]"
 
 
@@ -71,14 +156,89 @@ def _db(v: float) -> str:
     return f"{20 * math.log10(v):6.1f}"
 
 
-def render_channel(m: MeterValues, label: str = "", width: int = 48) -> str:
+def render_channel(m: MeterValues, label: str = "", width: int = 48,
+                   color: bool = False) -> str:
     """Three meter rows for one channel: in, out, gain-diff."""
     rows = [
-        f"{label:>4} in  {render_meter_bar(m.in_cur, m.in_mom, m.in_peak, width)} {_db(m.in_peak)} dBFS",
-        f"{'':>4} out {render_meter_bar(m.out_cur, m.out_mom, m.out_peak, width)} {_db(m.out_peak)} dBFS",
+        f"{label:>4} in  {render_meter_bar(m.in_cur, m.in_mom, m.in_peak, width, color)} {_db(m.in_peak)} dBFS",
+        f"{'':>4} out {render_meter_bar(m.out_cur, m.out_mom, m.out_peak, width, color)} {_db(m.out_peak)} dBFS",
         f"{'':>4} +/- {render_delta_bar(m.diff_cur, m.diff_min, m.diff_max, width)}",
     ]
     return "\n".join(rows)
+
+
+def meter_svg(m: MeterValues, width: int = 240, bar_h: int = 12) -> str:
+    """One channel's meters as a standalone SVG widget: gradient level
+    bars with momentary cap and peak-hold line, dB tick ruler, and the
+    bidirectional gain-delta bar — the full drawing surface of
+    gui/phaserotate.c:256-727 on a vector target."""
+    h = bar_h * 3 + 26
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width + 40}" '
+        f'height="{h}" viewBox="0 0 {width + 40} {h}">',
+        '<defs><linearGradient id="lvl" x1="0" y1="0" x2="1" y2="0">',
+    ]
+    for stop_db, color, _ in _GRADIENT_STOPS_DB:
+        off = deflect_dbfs(1.0, stop_db)
+        parts.append(
+            f'<stop offset="{max(0.0, min(1.0, off)):.3f}" '
+            f'stop-color="{color}"/>')
+    parts.append("</linearGradient></defs>")
+
+    def bar(y: int, cur: float, mom: float, peak: float) -> None:
+        parts.append(
+            f'<rect x="20" y="{y}" width="{width}" height="{bar_h}" '
+            'fill="#222"/>')
+        live = deflect_meter(width, cur)
+        parts.append(
+            f'<rect x="20" y="{y}" width="{live:.1f}" height="{bar_h}" '
+            'fill="url(#lvl)"/>')
+        momx = deflect_meter(width, mom)
+        if momx > 0:
+            parts.append(
+                f'<rect x="{20 + momx - 1.5:.1f}" y="{y}" width="3" '
+                f'height="{bar_h}" fill="#eee"/>')
+        pkx = deflect_meter(width, peak)
+        if pkx > 0:
+            parts.append(
+                f'<rect x="{20 + pkx - 1:.1f}" y="{y}" width="2" '
+                f'height="{bar_h}" fill="#f44"/>')
+
+    bar(2, m.in_cur, m.in_mom, m.in_peak)
+    bar(bar_h + 4, m.out_cur, m.out_mom, m.out_peak)
+
+    # delta bar around the 0 dB center (gui/phaserotate.c:617-727)
+    y = 2 * bar_h + 6
+    parts.append(
+        f'<rect x="20" y="{y}" width="{width}" height="{bar_h}" '
+        'fill="#222"/>')
+    center = deflect_db(width, 0.0)
+    lo = deflect_delta(width, m.diff_min)
+    hi = deflect_delta(width, m.diff_max)
+    parts.append(
+        f'<rect x="{20 + min(lo, center):.1f}" y="{y}" '
+        f'width="{abs(center - lo):.1f}" height="{bar_h}" fill="#28c"/>')
+    parts.append(
+        f'<rect x="{20 + center:.1f}" y="{y}" '
+        f'width="{max(0.0, hi - center):.1f}" height="{bar_h}" '
+        'fill="#2c8"/>')
+    parts.append(
+        f'<rect x="{20 + center - 0.5:.1f}" y="{y}" width="1" '
+        f'height="{bar_h}" fill="#fff"/>')
+
+    # tick ruler with labels
+    ry = 3 * bar_h + 8
+    for db in METER_TICKS_DB:
+        x = 20 + deflect_dbfs(width, db)
+        if 20 <= x <= 20 + width:
+            parts.append(
+                f'<line x1="{x:.1f}" y1="{ry}" x2="{x:.1f}" '
+                f'y2="{ry + 4}" stroke="#999" stroke-width="1"/>')
+            parts.append(
+                f'<text x="{x:.1f}" y="{ry + 13}" font-size="7" '
+                f'fill="#bbb" text-anchor="middle">{db}</text>')
+    parts.append("</svg>")
+    return "".join(parts)
 
 
 def faceplate_svg(size: int = 120, radius: float = 40.0) -> str:

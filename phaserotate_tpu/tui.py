@@ -32,7 +32,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .gui.render import render_channel
+from .gui.render import render_channel, render_ruler
 from .hostapp import StandaloneHost
 
 __all__ = ["TuiSession", "run_tui"]
@@ -45,12 +45,16 @@ class TuiSession:
     the pty test (tests/test_tui.py) exercises the real loop.
     """
 
-    def __init__(self, host: StandaloneHost):
+    def __init__(self, host: StandaloneHost, color: Optional[bool] = None):
         self.host = host
         self.ui = host.ui
         self.active = 0  # active dial/channel
         self.running = True
         self._esc = ""  # escape-sequence decoder state
+        if color is None:
+            color = (os.environ.get("NO_COLOR") is None
+                     and sys.stdout.isatty())
+        self.color = color
         self.ui.open()
 
     # -- keys ---------------------------------------------------------------
@@ -112,7 +116,9 @@ class TuiSession:
             rows.append(
                 f"{cur} ch{c}  angle {self.ui.dials[c].value:+7.1f} deg"
                 f"{link}")
-            rows.append(render_channel(self.ui.meters[c], f"ch{c}"))
+            rows.append(render_channel(self.ui.meters[c], f"ch{c}",
+                                       color=self.color))
+        rows.append(render_ruler(48))
         return "\n".join(rows)
 
 

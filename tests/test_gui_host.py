@@ -139,3 +139,45 @@ def test_host_meters_plus_outfile_no_splice(tmp_path, rng):
     ya, _, _ = read_wav(str(dst_a))
     yb, _, _ = read_wav(str(dst_b))
     np.testing.assert_array_equal(ya, yb)
+
+
+def test_meter_pattern_cached_gradient():
+    """Per-width gradient/tick pattern (the reference's cached cairo
+    pattern surfaces, gui/phaserotate.c:256-430)."""
+    from phaserotate_tpu.gui import meter_pattern
+
+    colors, ticks = meter_pattern(86)
+    assert len(colors) == 86
+    # -80..+6 scale: cell 0 is deep green zone, last cell is red
+    assert colors[0] == 34 and colors[-1] == 196
+    # ticks at every METER_TICKS_DB position inside the bar, increasing
+    assert list(ticks) == sorted(ticks) and len(ticks) >= 10
+    assert meter_pattern(86) is meter_pattern(86)  # lru-cached
+
+
+def test_render_color_and_ruler():
+    from phaserotate_tpu.gui import render_ruler
+    from phaserotate_tpu.gui.render import render_meter_bar
+
+    plain = render_meter_bar(1.0, 1.0, 1.0, width=48)
+    colored = render_meter_bar(1.0, 1.0, 1.0, width=48, color=True)
+    assert "\x1b[38;5;" in colored and "\x1b[0m" in colored
+    # stripped of SGR codes the colored bar draws the same geometry
+    import re
+
+    assert re.sub(r"\x1b\[[0-9;]*m", "", colored).replace(".", " ") == plain
+    ruler = render_ruler(48)
+    assert "'" in ruler and "-24" in ruler and "0" in ruler
+
+
+def test_meter_svg():
+    from phaserotate_tpu.gui import meter_svg
+
+    m = MeterValues(in_cur=0.5, in_mom=0.6, in_peak=0.9,
+                    out_cur=0.4, out_mom=0.5, out_peak=0.7,
+                    diff_cur=1.0, diff_min=0.8, diff_max=1.2)
+    svg = meter_svg(m)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert 'linearGradient id="lvl"' in svg
+    assert svg.count("<stop") == 4  # green/yellow/orange/red zones
+    assert "<line" in svg and ">-24<" in svg  # tick ruler with labels
