@@ -40,6 +40,8 @@ from .rotate_peak import use_interpret
 __all__ = [
     "fused_ola_conv",
     "fused_hilbert",
+    "fused_rotate_fir",
+    "mix_supported",
     "supported_parsiz",
     "fused_parsiz_for",
     "fir_kk_layout",
@@ -108,7 +110,7 @@ def fir_kk_layout(fir_spectrum_ri: np.ndarray, fftlen: int) -> np.ndarray:
     return out
 
 
-def _make_kernel(n1: int, n2: int, t_blocks: int):
+def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0):
     rows_in = n1 // 2  # zero-padded half of each frame drops these rows
 
     def dot(a, b):
@@ -116,17 +118,27 @@ def _make_kernel(n1: int, n2: int, t_blocks: int):
             a, b, (((1,), (0,)), ((), ())),
             precision=_PREC, preferred_element_type=jnp.float32)
 
-    def kernel(w1r_h, w1i_h, w2r, w2i, twr, twi, w1r, w1i, h4,
-               frames, out, tail):
+    def body(refs):
         # frames/out blocks are (1, t_blocks, rows_in, n2): keeping each
         # frame pre-shaped as a 2-D (rows_in, n2) tile means the Mosaic
         # lowering never sees a 1-D 4096-wide reshape (which violates the
         # (8, 128) tiling rule and crashed the TPU compile in round 1).
+        if mix_rows:
+            # cs is a scalar-prefetch arg (full (B, 2) array in SMEM,
+            # indexed by the batch grid position)
+            (cs, w1r_h, w1i_h, w2r, w2i, twr, twi, w1r, w1i, h4,
+             frames, out, tail, xprev) = refs
+        else:
+            (w1r_h, w1i_h, w2r, w2i, twr, twi, w1r, w1i, h4,
+             frames, out, tail) = refs
+            cs = xprev = None
         i = pl.program_id(1)
 
         @pl.when(i == 0)
         def _():
             tail[:] = jnp.zeros_like(tail)
+            if mix_rows:
+                xprev[:] = jnp.zeros_like(xprev)
 
         h4r = h4[:, :, 0]
         h4i = h4[:, :, 1]
@@ -155,7 +167,22 @@ def _make_kernel(n1: int, n2: int, t_blocks: int):
             y = dot(w1r[:], gr) + dot(w1i[:], gi)  # (n1, n2)
             head = y[: n1 // 2] + tail[:]
             tail[:] = y[n1 // 2 :]
-            out[0, t] = head
+            if mix_rows:
+                # rotation mix fused in: the FIR group delay is a whole
+                # number of (n2-wide) rows, so the delayed dry signal is
+                # a pure sublane shift carried in the xprev scratch —
+                # out = ca*x[m - delay] + sa*(fir*x)[m], and the Hilbert
+                # stream never touches HBM (src/phaserotate.c:700 role)
+                delayed = jnp.concatenate(
+                    [xprev[:], a[: rows_in - mix_rows]], axis=0)
+                xprev[:] = a[rows_in - mix_rows :]
+                bidx = pl.program_id(0)
+                out[0, t] = cs[bidx, 0] * delayed + cs[bidx, 1] * head
+            else:
+                out[0, t] = head
+
+    def kernel(*refs):
+        body(refs)
 
     return kernel
 
@@ -182,6 +209,13 @@ def fused_ola_conv(
     to ops.convolve.partitioned_convolve's head; run one extra zero block
     through for the tail).
     """
+    return _fused_call(frames, fir_kk, parsiz, t_blocks, cs=None,
+                       mix_rows=0)
+
+
+def _fused_call(frames, fir_kk, parsiz, t_blocks, cs, mix_rows):
+    """Shared pallas_call plumbing for the conv-only and rotate-mix
+    variants."""
     fftlen = 2 * parsiz
     if not supported_parsiz(parsiz):
         raise ValueError(f"unsupported parsiz {parsiz}")
@@ -213,33 +247,60 @@ def fused_ola_conv(
         (jnp.asarray(fir_kk), (n1, n2, 2)),
     ]
 
+    # index_maps are variadic: under PrefetchScalarGridSpec they receive
+    # the scalar-prefetch ref as a trailing argument
     const_specs = [
-        pl.BlockSpec(shape, (lambda b_, i_, r=len(shape): (0,) * r),
+        pl.BlockSpec(shape, (lambda b_, i_, *_, r=len(shape): (0,) * r),
                      memory_space=pltpu.VMEM)
         for _, shape in consts
     ]
 
-    out = pl.pallas_call(
-        _make_kernel(n1, n2, t_blocks),
-        grid=(b, n_tiles),
-        in_specs=const_specs + [
-            pl.BlockSpec((1, t_blocks, rows_in, n2),
-                         lambda b_, i_: (b_, i_, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, t_blocks, rows_in, n2), lambda b_, i_: (b_, i_, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_blocks, rows_in, n2),
-                                       jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n1 // 2, n2), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=b * n_blocks * 12 * n1 * n1 * n2 * 2,
-            bytes_accessed=b * n_blocks * parsiz * 8,
-            transcendentals=0,
-        ),
-        interpret=use_interpret(),
-    )(*[c for c, _ in consts], frames)
+    in_specs = const_specs + [
+        pl.BlockSpec((1, t_blocks, rows_in, n2),
+                     lambda b_, i_, *_: (b_, i_, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [c for c, _ in consts] + [frames]
+    out_spec = pl.BlockSpec(
+        (1, t_blocks, rows_in, n2), lambda b_, i_, *_: (b_, i_, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, n_blocks, rows_in, n2),
+                                     jnp.float32)
+    scratch = [pltpu.VMEM((n1 // 2, n2), jnp.float32)]
+    cost = pl.CostEstimate(
+        flops=b * n_blocks * 12 * n1 * n1 * n2 * 2,
+        bytes_accessed=b * n_blocks * parsiz * 8,
+        transcendentals=0,
+    )
+    if mix_rows:
+        # per-batch-element (ca, sa) ride scalar prefetch: the whole
+        # (B, 2) table sits in SMEM, indexed by the batch grid position
+        scratch.append(pltpu.VMEM((mix_rows, n2), jnp.float32))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_tiles),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            _make_kernel(n1, n2, t_blocks, mix_rows),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=use_interpret(),
+        )(jnp.asarray(cs, jnp.float32), *inputs)
+    else:
+        out = pl.pallas_call(
+            _make_kernel(n1, n2, t_blocks, mix_rows),
+            grid=(b, n_tiles),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=use_interpret(),
+        )(*inputs)
     h = out.reshape(b, n_blocks * parsiz)
     if pad_blocks:
         h = h[:, : (n_blocks - pad_blocks) * parsiz]
@@ -294,3 +355,62 @@ def fused_hilbert(
     kk = hilbert_fir_kk(firlen, parsiz)
     h = fused_ola_conv(frames, kk, parsiz, t_blocks=t_blocks)
     return h.reshape(*batch_shape, n_frames * parsiz)
+
+
+def mix_supported(firlen: int, parsiz: int | None = None) -> bool:
+    """True when the rotation mix can fuse into the kernel: the FIR
+    group delay must be a whole number of sublane rows."""
+    if parsiz is None:
+        parsiz = fused_parsiz_for(firlen)
+    n2 = _split(2 * parsiz)[1]
+    rows = (firlen // 2) // n2
+    return (firlen // 2) % n2 == 0 and rows % 8 == 0 and rows < parsiz // n2
+
+
+def fused_rotate_fir(
+    x: jnp.ndarray,
+    turns: jnp.ndarray,
+    firlen: int,
+    t_blocks: int = 16,
+) -> jnp.ndarray:
+    """Complete FIR phase rotation in ONE kernel pass:
+
+        out[m] = cos(2*pi*turns)*x[m] + sin(2*pi*turns)*(fir*x)[m + lat]
+
+    (the reference's rotation mix, src/phaserotate.c:700, with the
+    ``lat = firlen/2`` group delay compensated).  HBM sees each sample
+    exactly twice — read x, write out; the Hilbert stream lives only in
+    VMEM.  Identical result to ``rotate_fir``'s unfused path
+    (parity-tested <3e-6).
+
+    Args:
+      x: (..., n) float32.
+      turns: negated-turns angle, broadcastable to ``x.shape[:-1]``
+        (core/angles.degrees_to_turns).
+    """
+    from ..core.angles import sin_cos_turns
+
+    parsiz = fused_parsiz_for(firlen)
+    if not mix_supported(firlen, parsiz):
+        raise ValueError(f"mix not supported for firlen {firlen}")
+    n2 = _split(2 * parsiz)[1]
+    mix_rows = (firlen // 2) // n2
+    lat = firlen // 2
+
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    b = 1
+    for d in batch_shape:
+        b *= d
+    sa, ca = sin_cos_turns(turns)
+    cs = jnp.stack(
+        [jnp.broadcast_to(ca, batch_shape).reshape(b),
+         jnp.broadcast_to(sa, batch_shape).reshape(b)], axis=-1)
+
+    n_frames = -(-(n + lat) // parsiz)  # stream must cover n + lat
+    pad = n_frames * parsiz - n
+    xp = jnp.pad(x.reshape(b, n), ((0, 0), (0, pad)))
+    frames = xp.reshape(b, n_frames, parsiz)
+    kk = hilbert_fir_kk(firlen, parsiz)
+    out = _fused_call(frames, kk, parsiz, t_blocks, cs, mix_rows)
+    return out[:, lat : lat + n].reshape(*batch_shape, n)

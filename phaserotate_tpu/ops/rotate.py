@@ -113,6 +113,15 @@ def hilbert_fir(
 
 @functools.partial(jax.jit, static_argnames=("firlen",))
 def _rotate_fir_impl(x: jnp.ndarray, turns: jnp.ndarray, firlen: int):
+    if _on_tpu():
+        from ..kernels.fused_conv import fused_rotate_fir, mix_supported
+
+        if mix_supported(firlen):
+            # single-pass kernel: conv + group-delay + rotation mix all
+            # in VMEM; HBM traffic is read-x + write-out only
+            turns_b = jnp.broadcast_to(
+                jnp.asarray(turns, jnp.float32), x.shape[:-1])
+            return fused_rotate_fir(x, turns_b, firlen)
     sa, ca = _angles.sin_cos_turns(turns)
     h = hilbert_fir(x, firlen)
     return (ca[..., None] * x + sa[..., None] * h).astype(x.dtype)

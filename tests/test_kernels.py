@@ -115,3 +115,41 @@ class TestFusedConv:
         assert not supported_parsiz(3072)
         with pytest.raises(ValueError):
             fused_hilbert(jnp.zeros(100), firlen=3072, parsiz=1024)
+
+    def test_fused_rotate_fir_matches_unfused(self, rng):
+        """The single-pass rotate kernel (conv + group delay + mix in
+        VMEM) equals the unfused hilbert+mix path for per-element
+        angles."""
+        from phaserotate_tpu.core.angles import (
+            degrees_to_turns, sin_cos_turns)
+        from phaserotate_tpu.kernels.fused_conv import (
+            fused_rotate_fir, mix_supported)
+        from phaserotate_tpu.ops.rotate import hilbert_fir
+        import jax.numpy as jnp
+
+        for firlen in (3072, 4096):
+            assert mix_supported(firlen)
+            x = rng.standard_normal((2, 10000)).astype(np.float32)
+            turns = degrees_to_turns(np.array([35.0, -120.0], np.float32))
+            sa, ca = sin_cos_turns(turns)
+            h = np.asarray(hilbert_fir(jnp.asarray(x), firlen))
+            want = (np.asarray(ca)[:, None] * x
+                    + np.asarray(sa)[:, None] * h)
+            got = np.asarray(fused_rotate_fir(jnp.asarray(x), turns, firlen))
+            np.testing.assert_allclose(got, want, atol=3e-6)
+
+    def test_fused_rotate_fir_zero_angle_identity(self, rng):
+        from phaserotate_tpu.kernels.fused_conv import fused_rotate_fir
+        import jax.numpy as jnp
+
+        x = rng.standard_normal(9000).astype(np.float32)
+        got = np.asarray(fused_rotate_fir(
+            jnp.asarray(x)[None], jnp.zeros(1), 3072))[0]
+        np.testing.assert_allclose(got, x, atol=1e-6)
+
+    def test_mix_supported_table(self):
+        from phaserotate_tpu.kernels.fused_conv import mix_supported
+
+        assert mix_supported(3072)   # 48k stream FIR
+        assert mix_supported(4096)   # 96k stream FIR
+        assert mix_supported(8192)   # 192k stream FIR
