@@ -30,7 +30,11 @@ from ..meter import (
     meter_falloff,
     reset_peaks,
 )
-from ..stream.engine import init_state, stream_step_batched
+from ..stream.engine import (
+    init_state,
+    stream_process_batched,
+    stream_step_batched,
+)
 from .protocol import LevelsMsg, Message, ResetPeaks, StateMsg, UiOff, UiOn
 from .uris import (
     MAX_CHANNELS,
@@ -201,6 +205,23 @@ class PhaseRotatePlugin:
         pos = 0
         offset = self._offset
         while pos < n:
+            if offset == 0 and n - pos >= 2 * parsiz:
+                # bulk: scan all complete frames in one device dispatch
+                k = (n - pos) // parsiz
+                frames = np.stack(
+                    [self._out[c][pos : pos + k * parsiz] for c in
+                     range(n_chn)]).reshape(n_chn, k, parsiz)
+                self._state, ys = stream_process_batched(
+                    self._state, frames, target_deg, geom)
+                ys = np.asarray(ys)
+                emitted = np.concatenate(
+                    [self._cur_out[:, None], ys[:, :-1]], axis=1
+                ).reshape(n_chn, k * parsiz)
+                for c in range(n_chn):
+                    self._out[c][pos : pos + k * parsiz] = emitted[c]
+                self._cur_out = ys[:, -1].copy()
+                pos += k * parsiz
+                continue
             ns = min(parsiz - offset, n - pos)
             for c in range(n_chn):
                 self._cur_in[c, offset : offset + ns] = \

@@ -38,6 +38,7 @@ __all__ = [
     "stream_step",
     "stream_step_batched",
     "stream_process",
+    "stream_process_batched",
     "rotate_streamed",
 ]
 
@@ -207,6 +208,36 @@ def stream_process(
         return stream_step(carry, frame, tgt, geom)
 
     return jax.lax.scan(body, state, (frames, target_degrees))
+
+
+@functools.partial(jax.jit, static_argnames=("geom",))
+def stream_process_batched(
+    state: StreamState,
+    frames: jnp.ndarray,
+    target_degrees: jnp.ndarray,
+    geom: StreamGeometry,
+) -> Tuple[StreamState, jnp.ndarray]:
+    """Scan over frames AND vmap over channels in one dispatch.
+
+    Args:
+      state: batched state from ``init_state(geom, (channels,))``.
+      frames: (channels, n_frames, parsiz) float32.
+      target_degrees: (channels,) float32 — one control read per host
+        block, shared by every frame in it (src/phaserotate.c:564 reads
+        the port once per run()).
+
+    Returns (new_state, (channels, n_frames, parsiz) outputs).  The host
+    shells use this to advance any number of complete frames in a single
+    device round trip (a 256-sample-frame stream pushed in 8192-sample
+    host blocks costs 1 dispatch instead of 32).
+    """
+    targets = jnp.asarray(target_degrees, jnp.float32)
+
+    def per_channel(st, fr, tgt):
+        return stream_process(
+            st, fr, jnp.full((fr.shape[0],), tgt), geom)
+
+    return jax.vmap(per_channel)(state, frames, targets)
 
 
 def rotate_streamed(

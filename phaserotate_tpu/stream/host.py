@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..core.sizes import StreamGeometry, stream_geometry_for_rate
-from .engine import init_state, stream_step_batched
+from .engine import init_state, stream_process_batched, stream_step_batched
 
 __all__ = ["StreamingRotator"]
 
@@ -92,6 +92,24 @@ class StreamingRotator:
         pos = 0
         offset = self._offset
         while pos < n:
+            if offset == 0 and n - pos >= 2 * parsiz:
+                # bulk path: scan all complete frames in ONE dispatch
+                # (large host blocks cost one round trip, not one per
+                # frame); the emitted output for frame j is the staged
+                # result of frame j-1, exactly like the per-frame path
+                k = (n - pos) // parsiz
+                frames = x[:, pos : pos + k * parsiz].reshape(
+                    self.channels, k, parsiz)
+                self._state, ys = stream_process_batched(
+                    self._state, frames, degs, self.geom)
+                ys = np.asarray(ys)
+                emitted = np.concatenate(
+                    [self._cur_out[:, None], ys[:, :-1]], axis=1)
+                out[:, pos : pos + k * parsiz] = emitted.reshape(
+                    self.channels, k * parsiz)
+                self._cur_out = ys[:, -1].copy()
+                pos += k * parsiz
+                continue
             ns = min(parsiz - offset, n - pos)
             self._cur_in[:, offset : offset + ns] = x[:, pos : pos + ns]
             out[:, pos : pos + ns] = self._cur_out[:, offset : offset + ns]

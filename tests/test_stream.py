@@ -201,3 +201,24 @@ def test_plancache_warmup_and_persistent_cache(tmp_path):
     enable_persistent_cache(str(cache))
     assert cache.exists()
     assert jax.config.jax_compilation_cache_dir == str(cache)
+
+
+def test_host_bulk_path_matches_per_frame(rng):
+    """Large host blocks take the single-dispatch scan path; output must
+    be bit-identical to tiny-block (per-frame) streaming."""
+    from phaserotate_tpu.stream import StreamingRotator
+
+    x = rng.standard_normal((2, 10 * GEOM.parsiz + 123)).astype(np.float32)
+    a = StreamingRotator(rate=48000, channels=2)
+    b = StreamingRotator(rate=48000, channels=2)
+    ya = a.process(x, [35.0, -90.0])  # one huge block -> bulk scan
+    yb = np.concatenate(
+        [b.process(x[:, i : i + 100], [35.0, -90.0])
+         for i in range(0, x.shape[1], 100)], axis=1)
+    np.testing.assert_array_equal(ya, yb)
+    # mixed sizes afterwards stay aligned (offset continuity)
+    ya2 = a.process(x[:, :700], [35.0, -90.0])
+    yb2 = np.concatenate(
+        [b.process(x[:, i : i + 70], [35.0, -90.0])
+         for i in range(0, 700, 70)], axis=1)
+    np.testing.assert_array_equal(ya2, yb2)
