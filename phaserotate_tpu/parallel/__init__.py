@@ -4,6 +4,7 @@ from .batch import (
     batch_find_min_peak_angles,
     batch_rotate,
     batch_sweep_peaks,
+    sharded_rotate,
     sharded_sweep_peaks,
 )
 from .mesh import file_mesh, grid_mesh, shard_files
@@ -15,5 +16,6 @@ __all__ = [
     "file_mesh",
     "grid_mesh",
     "shard_files",
+    "sharded_rotate",
     "sharded_sweep_peaks",
 ]

@@ -41,6 +41,7 @@ __all__ = [
     "batch_sweep_peaks",
     "batch_find_min_peak_angles",
     "sharded_sweep_peaks",
+    "sharded_rotate",
 ]
 
 
@@ -226,3 +227,81 @@ def sharded_sweep_peaks(
     if squeeze:
         return peaks[0], rot0[0]
     return peaks, rot0
+
+
+def sharded_rotate(
+    x,
+    degrees,
+    mesh: Mesh,
+    firlen: int = 3072,
+    axis: str = "samples",
+    file_axis: Optional[str] = None,
+):
+    """Sequence-parallel whole-file FIR rotation: one long signal's sample
+    axis sharded across the mesh, each device convolving its shard with a
+    two-sided ``firlen/2`` halo fetched over ICI (``ppermute`` in both
+    directions), then mixing locally.  Output stays sample-sharded —
+    a multi-hour master rotates at O(shard) memory per chip with zero
+    host round trips.
+
+    Matches :func:`phaserotate_tpu.ops.rotate_fir` exactly (edge devices'
+    zero halos reproduce its zero-padded boundary); parity-tested on the
+    virtual CPU mesh (tests/test_parallel.py).
+
+    Args:
+      x: (n,) or (files, n) float32.
+      degrees: scalar or (files,) rotation angle(s).
+      firlen: FIR taps (the stream geometry of the target rate).
+      file_axis: mesh axis name for the files dim (2-D mesh composition).
+
+    Returns the rotated signal(s), same shape, time-aligned.
+    """
+    from ..core.angles import degrees_to_turns, sin_cos_turns
+    from ..core.fir import partition_fir_spectra
+
+    lat = firlen // 2
+    n_dev = mesh.shape[axis]
+    x = jnp.asarray(x, jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    n = x.shape[-1]
+    n_files = x.shape[0]
+    S = -(-n // n_dev)
+    if S < lat:
+        raise ValueError(
+            f"shard size {S} < halo {lat}; use fewer devices or a "
+            "longer signal")
+    x_pad = jnp.pad(x, ((0, 0), (0, S * n_dev - n)))
+    turns = jnp.broadcast_to(
+        degrees_to_turns(jnp.asarray(degrees, jnp.float32)), (n_files,))
+
+    spectra = partition_fir_spectra(firlen, firlen)
+
+    def one_signal(x_local, t):  # (S,) local shard
+        sa, ca = sin_cos_turns(t)
+        right_perm = [(i, i + 1) for i in range(n_dev - 1)]
+        left_perm = [(i + 1, i) for i in range(n_dev - 1)]
+        left_halo = jax.lax.ppermute(
+            x_local[-lat:], axis, right_perm)  # from left neighbor
+        right_halo = jax.lax.ppermute(
+            x_local[:lat], axis, left_perm)  # from right neighbor
+        xa = jnp.concatenate([left_halo, x_local, right_halo])
+        conv = partitioned_convolve(xa, spectra, firlen)
+        h = conv[2 * lat : 2 * lat + x_local.shape[-1]]
+        return ca * x_local + sa * h
+
+    def shard_fn(x_local, t):  # (F_local, S), (F_local,)
+        return jax.vmap(one_signal)(x_local, t)
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(file_axis, axis), P(file_axis)),
+            out_specs=P(file_axis, axis),
+            check_vma=False,
+        )
+    )
+    y = fn(x_pad, turns)[..., :n]
+    return y[0] if squeeze else y

@@ -142,3 +142,39 @@ def test_mesh_raises_on_insufficient_devices():
         file_mesh(99)
     with pytest.raises(ValueError, match="device"):
         grid_mesh(16, 16)
+
+
+def test_sharded_rotate_matches_unsharded(rng, mesh):
+    """Sequence-parallel rotation (two-sided ppermute halo) == rotate_fir
+    on the whole signal, incl. the zero-padded edges."""
+    from phaserotate_tpu.parallel import sharded_rotate
+
+    n = 8 * 6000 - 777  # not mesh-divisible
+    x = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(sharded_rotate(x, 35.0, mesh, firlen=3072,
+                                    axis="files"))
+    want = np.asarray(rotate_fir(x, 35.0, firlen=3072))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sharded_rotate_2d_mesh(rng):
+    """files x samples composition: per-file angles, samples halo."""
+    from phaserotate_tpu.parallel import grid_mesh, sharded_rotate
+
+    mesh2 = grid_mesh(2, 4)
+    n = 4 * 7000 + 123
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    degs = np.array([35.0, -120.0], np.float32)
+    got = np.asarray(sharded_rotate(x, degs, mesh2, firlen=3072,
+                                    axis="samples", file_axis="files"))
+    for i in range(2):
+        want = np.asarray(rotate_fir(x[i], degs[i], firlen=3072))
+        np.testing.assert_allclose(got[i], want, atol=1e-5)
+
+
+def test_sharded_rotate_shard_too_small(rng, mesh):
+    from phaserotate_tpu.parallel import sharded_rotate
+
+    with pytest.raises(ValueError, match="halo"):
+        sharded_rotate(np.zeros(4000, np.float32), 0.0, mesh,
+                       firlen=3072, axis="files")
