@@ -109,6 +109,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .utils.platform import apply_platform_env
 
     apply_platform_env()
+
+    # PHASEROTATE_TPU_PROFILE=<dir> captures a jax.profiler trace of the
+    # whole run (TensorBoard format) — the framework's tracing hook
+    # (SURVEY.md §5), without adding flags the reference CLI lacks.
+    import os as _os
+
+    profile_dir = _os.environ.get("PHASEROTATE_TPU_PROFILE")
+    if profile_dir:
+        from .utils.profiling import device_trace
+
+        with device_trace(profile_dir):
+            return _main(argv)
+    return _main(argv)
+
+
+def _main(argv: Optional[List[str]] = None) -> int:
     args = _build_parser().parse_args(argv)
 
     if args.version:

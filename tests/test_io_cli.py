@@ -184,3 +184,19 @@ def test_angle_units_c_round_semantics():
     assert angle_units_from_degrees(0.25) == 1
     assert angle_units_from_degrees(-0.25) == -1
     assert angle_units_from_degrees(0.0) == 0
+
+
+def test_cli_profile_trace(tmp_path, monkeypatch, capsys):
+    """PHASEROTATE_TPU_PROFILE captures a jax.profiler trace of the run
+    (the tracing hook of SURVEY.md section 5)."""
+    from phaserotate_tpu import cli
+
+    src = tmp_path / "in.wav"
+    write_wav(str(src), np.zeros(30000, np.float32), 48000)
+    trace_dir = tmp_path / "trace"
+    monkeypatch.setenv("PHASEROTATE_TPU_PROFILE", str(trace_dir))
+    assert cli.main([str(src)]) == 0
+    capsys.readouterr()
+    found = list(trace_dir.rglob("*.xplane.pb")) + \
+        list(trace_dir.rglob("*trace*"))
+    assert found, "no trace artifacts written"

@@ -222,3 +222,48 @@ def test_host_bulk_path_matches_per_frame(rng):
         [b.process(x[:, i : i + 70], [35.0, -90.0])
          for i in range(0, 700, 70)], axis=1)
     np.testing.assert_array_equal(ya2, yb2)
+
+
+@pytest.mark.parametrize("rate,fftlen,firlen", [
+    (96000, 1024, 4096),
+    (192000, 2048, 8192),
+])
+def test_high_rate_geometries_end_to_end(rng, rate, fftlen, firlen):
+    """96k/192k sizing tables (src/phaserotate.c:278-290): streaming ==
+    offline FIR rotation at the high-rate geometries too."""
+    geom = sizes.stream_geometry_for_rate(rate)
+    assert (geom.fftlen, geom.firlen) == (fftlen, firlen)
+    x = rng.standard_normal(4 * geom.latency).astype(np.float32) * 0.5
+    y_stream = np.asarray(rotate_streamed(x, -70.0, geom=geom))
+    y_offline = np.asarray(rotate_fir(x, -70.0, firlen=geom.firlen))
+    np.testing.assert_allclose(y_stream, y_offline, atol=2e-5)
+
+
+def test_streaming_fuzz_block_sizes(rng):
+    """Property fuzz: ANY sequence of host block sizes (including the
+    bulk single-dispatch path, partial frames, and 1-sample pushes)
+    yields the identical stream (src/phaserotate.c:615-629 contract)."""
+    from hypothesis import given, settings, strategies as st
+
+    x = rng.standard_normal(6 * GEOM.parsiz + 17).astype(np.float32)
+    ref = StreamingRotator(geom=GEOM, channels=1)
+    want = ref.process(x, 42.0)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=1200), min_size=1))
+    def run(sizes_list):
+        rot = StreamingRotator(geom=GEOM, channels=1)
+        got = np.empty_like(x)
+        pos = 0
+        it = iter(sizes_list)
+        while pos < len(x):
+            try:
+                step = next(it)
+            except StopIteration:
+                step = 999
+            blk = x[pos : pos + step]
+            got[pos : pos + len(blk)] = rot.process(blk, 42.0)
+            pos += len(blk)
+        np.testing.assert_array_equal(got, want)
+
+    run()
