@@ -13,6 +13,7 @@
 // Fresh implementation; WAV structures per the public RIFF/WAVE layout.
 
 #include <cerrno>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -20,10 +21,10 @@
 #include <string>
 #include <vector>
 
-#include <sys/socket.h>
-#include <sys/un.h>
 #include <time.h>
 #include <unistd.h>
+
+#include "prt_protocol.h"
 
 // host runtime kernels (peak scan, PCM codecs, interleave)
 extern "C" {
@@ -35,10 +36,6 @@ void prt_f32_to_pcm24(const float*, uint8_t*, size_t);
 }
 
 namespace {
-
-constexpr uint32_t kMagic = 0x50525431;  // "PRT1"
-constexpr uint32_t kInit = 1, kProc = 2, kBye = 3;
-constexpr uint32_t kInitOk = 101, kProcOk = 102, kLevels = 103, kErr = 199;
 
 struct Wav {
   uint32_t rate = 0;
@@ -146,47 +143,17 @@ bool wav_write_f32(const char* path, const Wav& w) {
 
 // ---------------------------------------------------------------------------
 
-struct Conn {
-  int fd = -1;
-  bool send_exact(const void* p, size_t n) {
-    const char* c = static_cast<const char*>(p);
-    while (n) {
-      ssize_t k = write(fd, c, n);
-      if (k <= 0) return false;
-      c += k; n -= k;
-    }
-    return true;
-  }
-  bool recv_exact(void* p, size_t n) {
-    char* c = static_cast<char*>(p);
-    while (n) {
-      ssize_t k = read(fd, c, n);
-      if (k <= 0) return false;
-      c += k; n -= k;
-    }
-    return true;
-  }
-  bool send_msg(uint32_t type, const void* payload, uint32_t len) {
-    uint32_t hdr[2] = {type, len};
-    return send_exact(hdr, 8) && (len == 0 || send_exact(payload, len));
-  }
-  bool recv_msg(uint32_t* type, std::vector<uint8_t>* payload) {
-    uint32_t hdr[2];
-    if (!recv_exact(hdr, 8)) return false;
-    *type = hdr[0];
-    payload->resize(hdr[1]);
-    return hdr[1] == 0 || recv_exact(payload->data(), hdr[1]);
-  }
-};
-
 void usage() {
   fprintf(stderr,
           "Usage: prt_bridge [options] <in.wav> [out.wav]\n"
           "  -s <path>   engine socket (default /tmp/phaserotate_tpu.sock)\n"
           "  -a <deg[,deg]> rotation angle(s), default 0\n"
           "  -b <n>      block size in frames (default 1024)\n"
+          "  -m          print engine meter levels (daemon --meters)\n"
           "  -r          pace at 1x realtime\n");
 }
+
+float db(float v) { return v > 1e-10f ? 20.0f * log10f(v) : -200.0f; }
 
 }  // namespace
 
@@ -195,10 +162,10 @@ int main(int argc, char** argv) {
   const char* env = getenv("PHASEROTATE_TPU_SOCKET");
   if (env && *env) sock_path = env;
   double angle0 = 0.0, angle1 = 0.0;
-  bool have_angle1 = false, realtime = false;
+  bool have_angle1 = false, realtime = false, meters = false;
   long block = 1024;
   int opt;
-  while ((opt = getopt(argc, argv, "s:a:b:rh")) != -1) {
+  while ((opt = getopt(argc, argv, "s:a:b:mrh")) != -1) {
     switch (opt) {
       case 's': sock_path = optarg; break;
       case 'a': {
@@ -208,6 +175,7 @@ int main(int argc, char** argv) {
         break;
       }
       case 'b': block = atol(optarg); break;
+      case 'm': meters = true; break;
       case 'r': realtime = true; break;
       default: usage(); return opt == 'h' ? 0 : 1;
     }
@@ -221,30 +189,16 @@ int main(int argc, char** argv) {
   uint16_t ch = in.channels > 2 ? 2 : in.channels;
   if (!have_angle1) angle1 = angle0;
 
-  Conn conn;
-  conn.fd = socket(AF_UNIX, SOCK_STREAM, 0);
-  sockaddr_un addr{};
-  addr.sun_family = AF_UNIX;
-  snprintf(addr.sun_path, sizeof addr.sun_path, "%s", sock_path.c_str());
-  if (connect(conn.fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr)) {
+  prt::Conn conn;
+  uint32_t latency = 0;
+  if (!conn.open(sock_path.c_str(), in.rate, ch, &latency)) {
     fprintf(stderr, "cannot connect to engine at %s: %s\n"
             "start it with: python -m phaserotate_tpu.bridge --socket %s\n",
             sock_path.c_str(), strerror(errno), sock_path.c_str());
     return 1;
   }
-  if (!conn.send_exact(&kMagic, 4)) return 1;
-  uint32_t init[2] = {in.rate, ch};
-  if (!conn.send_msg(kInit, init, 8)) return 1;
   uint32_t rtype;
   std::vector<uint8_t> reply;
-  if (!conn.recv_msg(&rtype, &reply) || rtype != kInitOk) {
-    fprintf(stderr, "engine INIT failed: %.*s\n",
-            static_cast<int>(reply.size()),
-            reinterpret_cast<char*>(reply.data()));
-    return 1;
-  }
-  uint32_t latency;
-  memcpy(&latency, reply.data(), 4);
   fprintf(stderr, "connected: rate %u, %u ch, latency %u frames\n", in.rate,
           ch, latency);
 
@@ -273,11 +227,26 @@ int main(int argc, char** argv) {
             fr < n ? in.samples[fr * in.channels + c] : 0.0f;
     }
     peak_in = prt_peak(body, m * ch, peak_in);
-    if (!conn.send_msg(kProc, msg.data(), msg.size())) {
+    if (!conn.send_msg(prt::kProc, msg.data(), msg.size())) {
       fprintf(stderr, "engine connection lost\n");
       return 1;
     }
-    if (!conn.recv_msg(&rtype, &reply) || rtype != kProcOk) {
+    auto on_info = [&](uint32_t t, const std::vector<uint8_t>& p) {
+      if (!meters || t != prt::kLevels || p.size() < 4) return;
+      uint32_t cnt;
+      memcpy(&cnt, p.data(), 4);
+      for (uint32_t e = 0; e < cnt && 4 + 40 * (e + 1) <= p.size(); ++e) {
+        uint32_t chn;
+        float lv[9];
+        memcpy(&chn, p.data() + 4 + 40 * e, 4);
+        memcpy(lv, p.data() + 8 + 40 * e, 36);
+        fprintf(stderr,
+                "ch%u  in %6.1f dBFS (pk %6.1f)  out %6.1f dBFS "
+                "(pk %6.1f)\n",
+                chn, db(lv[0]), db(lv[2]), db(lv[3]), db(lv[5]));
+      }
+    };
+    if (!conn.recv_reply(&rtype, &reply, on_info) || rtype != prt::kProcOk) {
       fprintf(stderr, "PROC failed: %.*s\n",
               static_cast<int>(reply.size()),
               reinterpret_cast<char*>(reply.data()));
@@ -301,8 +270,7 @@ int main(int argc, char** argv) {
       }
     }
   }
-  conn.send_msg(kBye, nullptr, 0);
-  close(conn.fd);
+  conn.bye();
 
   if (out_path) {
     // latency-compensated trim: drop the first `latency` frames, keep n

@@ -1,0 +1,126 @@
+// Wire protocol shared by the native engine clients (prt_bridge,
+// phaserotate_tpu.so).  The protocol is defined in
+// phaserotate_tpu/bridge.py; this header is the single native-side copy
+// of its constants and framing helpers.
+
+#ifndef PRT_PROTOCOL_H
+#define PRT_PROTOCOL_H
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+#include <sys/socket.h>
+#include <sys/un.h>
+#include <unistd.h>
+
+namespace prt {
+
+constexpr uint32_t kMagic = 0x50525431;  // "PRT1"
+constexpr uint32_t kInit = 1, kProc = 2, kBye = 3;
+constexpr uint32_t kInitOk = 101, kProcOk = 102, kLevels = 103,
+                   kErr = 199;
+// informational message range: clients skip these while awaiting a reply
+constexpr uint32_t kInfoFirst = 103, kInfoLast = 198;
+
+struct Conn {
+  int fd = -1;
+
+  bool send_exact(const void* p, size_t n) {
+    const char* c = static_cast<const char*>(p);
+    while (n) {
+      ssize_t k = write(fd, c, n);
+      if (k <= 0) return false;
+      c += k;
+      n -= k;
+    }
+    return true;
+  }
+
+  bool recv_exact(void* p, size_t n) {
+    char* c = static_cast<char*>(p);
+    while (n) {
+      ssize_t k = read(fd, c, n);
+      if (k <= 0) return false;
+      c += k;
+      n -= k;
+    }
+    return true;
+  }
+
+  bool send_msg(uint32_t type, const void* payload, uint32_t len) {
+    uint32_t hdr[2] = {type, len};
+    return send_exact(hdr, 8) && (len == 0 || send_exact(payload, len));
+  }
+
+  bool recv_msg(uint32_t* type, std::vector<uint8_t>* payload) {
+    uint32_t hdr[2];
+    if (!recv_exact(hdr, 8)) return false;
+    *type = hdr[0];
+    payload->resize(hdr[1]);
+    return hdr[1] == 0 || recv_exact(payload->data(), hdr[1]);
+  }
+
+  // Receive until a non-informational message arrives; info messages
+  // (levels etc.) are passed to `on_info` when non-null, else dropped.
+  template <typename F>
+  bool recv_reply(uint32_t* type, std::vector<uint8_t>* payload,
+                  F&& on_info) {
+    while (true) {
+      if (!recv_msg(type, payload)) return false;
+      if (*type >= kInfoFirst && *type <= kInfoLast) {
+        on_info(*type, *payload);
+        continue;
+      }
+      return true;
+    }
+  }
+
+  bool recv_reply(uint32_t* type, std::vector<uint8_t>* payload) {
+    return recv_reply(type, payload,
+                      [](uint32_t, const std::vector<uint8_t>&) {});
+  }
+
+  // Connect + handshake (magic, INIT, INIT_OK).  Returns false (fd=-1)
+  // on any failure.  `latency_out` receives the engine latency.
+  bool open(const char* path, uint32_t rate, uint32_t channels,
+            uint32_t* latency_out) {
+    fd = socket(AF_UNIX, SOCK_STREAM, 0);
+    if (fd < 0) return false;
+    sockaddr_un addr{};
+    addr.sun_family = AF_UNIX;
+    snprintf(addr.sun_path, sizeof addr.sun_path, "%s", path);
+    if (connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr)) {
+      close_fd();
+      return false;
+    }
+    uint32_t init[2] = {rate, channels};
+    uint32_t type;
+    std::vector<uint8_t> reply;
+    if (!send_exact(&kMagic, 4) || !send_msg(kInit, init, 8) ||
+        !recv_reply(&type, &reply) || type != kInitOk ||
+        reply.size() < 12) {
+      close_fd();
+      return false;
+    }
+    if (latency_out) memcpy(latency_out, reply.data(), 4);
+    return true;
+  }
+
+  void close_fd() {
+    if (fd >= 0) close(fd);
+    fd = -1;
+  }
+
+  void bye() {
+    if (fd >= 0) {
+      send_msg(kBye, nullptr, 0);
+      close_fd();
+    }
+  }
+};
+
+}  // namespace prt
+
+#endif  // PRT_PROTOCOL_H

@@ -21,10 +21,15 @@ Protocol (all little-endian, fixed 8-byte header ``u32 type, u32 len``):
     server -> client
       INIT_OK (101): u32 latency_frames, u32 parsiz, u32 channels
       PROC_OK (102): u32 n_frames, f32 samples[n_frames*channels]
-      LEVELS  (103): appended after PROC_OK when metering is on:
-                 u32 channels, 9 x f32 per channel (the level fields of
-                 the reference's 'levels' atom, src/phaserotate.c:741-771)
+      LEVELS  (103): sent BEFORE the PROC_OK it belongs to when metering
+                 is on (so a client reading until PROC_OK consumes it in
+                 stride): u32 count, then per entry u32 channel +
+                 9 x f32 (the level fields of the reference's 'levels'
+                 atom, src/phaserotate.c:741-771)
       ERR     (199): utf-8 message (connection closes after)
+
+    Clients must skip informational messages (anything in 103..198)
+    while waiting for a reply — the protocol stays extensible.
 
 Run:  python -m phaserotate_tpu.bridge --socket /tmp/phaserotate_tpu.sock
 """
@@ -72,56 +77,39 @@ def _send_msg(conn: socket.socket, mtype: int, payload: bytes = b"") -> None:
 
 
 class _Session:
-    """One connection = one plugin instance with wired ports."""
+    """One connection = one fully-wired plugin host (reuses
+    hostapp.StandaloneHost for the port wiring and run staging; this
+    layer only adds validation, interleaving, and meter extraction)."""
 
     def __init__(self, rate: int, channels: int, meters: bool):
-        from .plugin.descriptors import descriptor_for_channels
-        from .plugin.lifecycle import PhaseRotatePlugin
-        from .plugin.uris import PortIndex
+        from .hostapp import StandaloneHost
 
         if channels not in (1, 2):
             raise ValueError(f"channels must be 1 or 2, got {channels}")
         if not (8000 <= rate <= 768000):
             raise ValueError(f"implausible sample rate {rate}")
         self.channels = channels
-        desc = descriptor_for_channels(channels)
-        self.plugin = PhaseRotatePlugin(desc.uri, rate)
-        self.control: List = []
-        self.notify: List = []
-        self.latency = np.zeros(1, np.float32)
-        self.angles = [np.zeros(1, np.float32) for _ in range(channels)]
-        self.bufs = [np.zeros(MAX_FRAMES, np.float32)
-                     for _ in range(channels)]
-        p = self.plugin
-        p.connect_port(PortIndex.ATOM_CONTROL, self.control)
-        p.connect_port(PortIndex.ATOM_NOTIFY, self.notify)
-        p.connect_port(PortIndex.LATENCY, self.latency)
-        for c in range(channels):
-            base = 3 + 3 * c
-            p.connect_port(base, self.angles[c])
-            p.connect_port(base + 1, self.bufs[c])
-            p.connect_port(base + 2, self.bufs[c])  # in-place pair
-        p.activate()
+        self.host = StandaloneHost(rate, channels, block=MAX_FRAMES)
+        self.plugin = self.host.plugin
         self.meters = meters
         if meters:
             from .plugin.protocol import UiOn
 
-            self.control.append(UiOn())
+            self.host.control.append(UiOn())
 
     def process(self, n: int, angles: np.ndarray,
                 samples: np.ndarray) -> Tuple[np.ndarray, Optional[list]]:
         x = samples.reshape(n, self.channels).T
         for c in range(self.channels):
-            self.angles[c][0] = angles[c]
-            self.bufs[c][:n] = x[c]
-        self.plugin.run(n)
-        out = np.stack([self.bufs[c][:n] for c in range(self.channels)])
+            self.host.angles[c][0] = angles[c]
+        out = self.host.process(x)
         levels = None
         if self.meters:
             from .plugin.protocol import LevelsMsg
 
-            levels = [m for m in self.notify if isinstance(m, LevelsMsg)]
-            self.notify.clear()
+            levels = [m for m in self.host.notify
+                      if isinstance(m, LevelsMsg)]
+            self.host.notify.clear()
         return out.T.reshape(-1).astype(np.float32), levels
 
 
@@ -148,6 +136,9 @@ def _handle(conn: socket.socket, meters: bool) -> None:
             if session is None:
                 _send_msg(conn, T_ERR, b"PROC before INIT")
                 return
+            if len(payload) < 4:
+                _send_msg(conn, T_ERR, b"short PROC payload")
+                return
             (n,) = struct.unpack_from("<I", payload, 0)
             ch = session.channels
             want = 4 + 4 * ch + 4 * n * ch
@@ -157,9 +148,9 @@ def _handle(conn: socket.socket, meters: bool) -> None:
             angles = np.frombuffer(payload, np.float32, ch, 4)
             samples = np.frombuffer(payload, np.float32, n * ch, 4 + 4 * ch)
             out, levels = session.process(n, angles, samples)
-            _send_msg(conn, T_PROC_OK,
-                      struct.pack("<I", n) + out.tobytes())
             if levels is not None:
+                # info messages precede the reply they belong to, so a
+                # client reading until PROC_OK consumes them in stride
                 blob = struct.pack("<I", len(levels))
                 for lv in levels:
                     blob += struct.pack(
@@ -167,6 +158,8 @@ def _handle(conn: socket.socket, meters: bool) -> None:
                         lv.in_peak, lv.out_cur, lv.out_mom, lv.out_peak,
                         lv.diff_cur, lv.diff_min, lv.diff_max)
                 _send_msg(conn, T_LEVELS, blob)
+            _send_msg(conn, T_PROC_OK,
+                      struct.pack("<I", n) + out.tobytes())
         else:
             _send_msg(conn, T_ERR, f"unknown type {mtype}".encode())
             return
@@ -197,6 +190,13 @@ def serve(path: str, once: bool = False, meters: bool = False,
                 _handle(conn, meters)
             except ConnectionError:
                 pass
+            except Exception as e:  # a bad client must never kill the
+                # daemon for everyone else — report, drop, keep serving
+                try:
+                    _send_msg(conn, T_ERR, str(e).encode()[:512])
+                except OSError:
+                    pass
+                print(f"bridge: dropped client: {e!r}", file=sys.stderr)
             finally:
                 conn.close()
             if once:
@@ -226,7 +226,10 @@ class BridgeClient:
         self.levels: list = []
 
     def process(self, block: np.ndarray, angles) -> np.ndarray:
-        """block: (channels, n) float32 -> same shape, delayed output."""
+        """block: (channels, n) float32 -> same shape, delayed output.
+
+        Meter levels (daemon --meters) arriving before the reply are
+        collected into :attr:`levels` (list of per-block tuples)."""
         x = np.asarray(block, np.float32).reshape(self.channels, -1)
         n = x.shape[1]
         degs = np.broadcast_to(
@@ -234,9 +237,19 @@ class BridgeClient:
         payload = (struct.pack("<I", n) + degs.tobytes()
                    + x.T.reshape(-1).astype(np.float32).tobytes())
         _send_msg(self.sock, T_PROC, payload)
-        mtype, reply = _recv_msg(self.sock)
-        if mtype != T_PROC_OK:
-            raise RuntimeError(reply.decode(errors="replace"))
+        while True:
+            mtype, reply = _recv_msg(self.sock)
+            if mtype == T_PROC_OK:
+                break
+            if mtype == T_LEVELS:
+                (cnt,) = struct.unpack_from("<I", reply, 0)
+                for i in range(cnt):
+                    self.levels.append(
+                        struct.unpack_from("<I9f", reply, 4 + 40 * i))
+            elif 103 <= mtype <= 198:
+                continue  # unknown informational message: skip
+            else:
+                raise RuntimeError(reply.decode(errors="replace"))
         (rn,) = struct.unpack_from("<I", reply, 0)
         out = np.frombuffer(reply, np.float32, rn * self.channels, 4)
         return out.reshape(rn, self.channels).T.copy()

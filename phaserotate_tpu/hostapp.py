@@ -110,10 +110,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 ui_outs.append(
                     host.process(np.zeros((channels, block), np.float32)))
             stream = np.concatenate(ui_outs, axis=1)
-            n = audio.shape[1]
+            # the user may quit mid-file: write (and report) what was
+            # actually captured, never a silently-truncated "full" file
+            n = min(audio.shape[1], max(0, stream.shape[1] - lat))
             write_wav(args.outfile, stream[:, lat : lat + n], rate, meta)
+            suffix = "" if n == audio.shape[1] else \
+                f" — stopped early, {audio.shape[1] - n} frames not played"
             print(f"wrote {args.outfile} ({n} frames, latency {lat} "
-                  "compensated)")
+                  f"compensated){suffix}")
         return 0
     if args.meters:
         host.ui.open()

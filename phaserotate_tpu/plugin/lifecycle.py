@@ -206,8 +206,10 @@ class PhaseRotatePlugin:
         offset = self._offset
         while pos < n:
             if offset == 0 and n - pos >= 2 * parsiz:
-                # bulk: scan all complete frames in one device dispatch
-                k = (n - pos) // parsiz
+                # bulk: scan complete frames in one device dispatch;
+                # power-of-two buckets bound the set of compiled shapes
+                k_avail = (n - pos) // parsiz
+                k = 1 << (k_avail.bit_length() - 1)
                 frames = np.stack(
                     [self._out[c][pos : pos + k * parsiz] for c in
                      range(n_chn)]).reshape(n_chn, k, parsiz)

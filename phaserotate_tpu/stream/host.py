@@ -93,11 +93,15 @@ class StreamingRotator:
         offset = self._offset
         while pos < n:
             if offset == 0 and n - pos >= 2 * parsiz:
-                # bulk path: scan all complete frames in ONE dispatch
-                # (large host blocks cost one round trip, not one per
-                # frame); the emitted output for frame j is the staged
-                # result of frame j-1, exactly like the per-frame path
-                k = (n - pos) // parsiz
+                # bulk path: scan complete frames in ONE dispatch (large
+                # host blocks cost one round trip, not one per frame);
+                # the emitted output for frame j is the staged result of
+                # frame j-1, exactly like the per-frame path.  Frame
+                # counts are bucketed to powers of two so arbitrary
+                # client block sizes compile O(log) XLA programs, not
+                # one per distinct size.
+                k_avail = (n - pos) // parsiz
+                k = 1 << (k_avail.bit_length() - 1)
                 frames = x[:, pos : pos + k * parsiz].reshape(
                     self.channels, k, parsiz)
                 self._state, ys = stream_process_batched(

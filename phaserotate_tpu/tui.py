@@ -118,7 +118,9 @@ class TuiSession:
                 f"{link}")
             rows.append(render_channel(self.ui.meters[c], f"ch{c}",
                                        color=self.color))
-        rows.append(render_ruler(48))
+        # render_channel's row prefix is 9 chars ("  ch0 in  ") before
+        # the bar '[' — the ruler must line up under the bar cells
+        rows.append(render_ruler(48, indent=9))
         return "\n".join(rows)
 
 

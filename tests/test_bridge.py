@@ -252,3 +252,106 @@ def test_bundle_ships_binary(tmp_path):
     write_bundle(str(d))
     assert (d / "phaserotate_tpu.so").exists()
     assert "lv2:binary <phaserotate_tpu.so>" in (d / "manifest.ttl").read_text()
+
+
+def test_daemon_survives_malformed_proc(daemon, rng):
+    """A malformed PROC (short payload) must not kill the daemon: the
+    offending client gets an error, the next client is served (round-2
+    self-review finding)."""
+    import socket
+    import struct
+
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.connect(daemon)
+    s.sendall(struct.pack("<I", 0x50525431))
+    s.sendall(struct.pack("<II", 1, 8) + struct.pack("<II", 48000, 1))
+    s.recv(65536)  # INIT_OK
+    s.sendall(struct.pack("<II", 2, 2) + b"\x00\x00")  # short PROC
+    reply = s.recv(65536)
+    assert struct.unpack_from("<I", reply, 0)[0] == 199  # ERR
+    s.close()
+
+    # daemon still alive: a clean client works
+    cl = BridgeClient(daemon, 48000, 1)
+    x = (0.1 * rng.standard_normal((1, 500))).astype(np.float32)
+    assert cl.process(x, 0.0).shape == (1, 500)
+    cl.close()
+
+
+@pytest.fixture()
+def daemon_meters(tmp_path):
+    sock = str(tmp_path / "meters.sock")
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge", "--socket", sock,
+         "--meters", "--ready-fd", str(w)],
+        pass_fds=(w,), cwd=REPO, stderr=subprocess.DEVNULL)
+    os.close(w)
+    assert os.read(r, 1) == b"R"
+    os.close(r)
+    yield sock
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def test_daemon_meters_stream_intact(daemon_meters, rng):
+    """--meters interleaves LEVELS messages; the client consumes them
+    without desyncing and collects the level tuples (round-2 self-review:
+    previously the second process() read a stale LEVELS blob)."""
+    cl = BridgeClient(daemon_meters, 48000, 1)
+    x = (0.5 * rng.standard_normal(3000)).astype(np.float32)
+    outs = [cl.process(x[None, i : i + 500], 0.0)
+            for i in range(0, 3000, 500)]
+    lat = cl.latency
+    tail = [cl.process(np.zeros((1, 500), np.float32), 0.0)
+            for _ in range(4)]
+    cl.close()
+    y = np.concatenate(outs + tail, axis=1)[0]
+    np.testing.assert_allclose(y[lat : lat + 3000], x, atol=1e-6)
+    assert cl.levels, "no LEVELS collected"
+    assert len(cl.levels[0]) == 10  # channel + 9 level fields
+
+
+def test_native_bridge_meters_flag(daemon_meters, native_built,
+                                   tmp_path, rng):
+    rate = 48000
+    x = (0.5 * rng.standard_normal(6000)).astype(np.float32)
+    src = tmp_path / "in.wav"
+    write_wav(str(src), x, rate)
+    res = subprocess.run(
+        [os.path.join(native_built, "prt_bridge"), "-s", daemon_meters,
+         "-m", "-a", "0", str(src)],
+        capture_output=True, text=True, timeout=120)
+    assert res.returncode == 0, res.stderr
+    assert "dBFS" in res.stderr  # meter lines printed
+
+
+def test_lv2_reconnects_when_daemon_appears(native_built, tmp_path, rng,
+                                            monkeypatch):
+    """The shim retries the engine on activate(): a daemon started AFTER
+    the host loaded the plugin is picked up (round-2 self-review: the
+    old shim connected once in instantiate and never again)."""
+    sock = str(tmp_path / "late.sock")
+    monkeypatch.setenv("PHASEROTATE_TPU_SOCKET", sock)
+    host = _Lv2Host(native_built, 0, 48000, 512)  # no daemon yet
+    x = (0.5 * rng.standard_normal((1, 512))).astype(np.float32)
+    np.testing.assert_array_equal(host.run(x, 90.0), x)  # bypass
+    assert host.latency[0] == 0.0
+
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge", "--socket", sock,
+         "--ready-fd", str(w)],
+        pass_fds=(w,), cwd=REPO, stderr=subprocess.DEVNULL)
+    os.close(w)
+    assert os.read(r, 1) == b"R"
+    os.close(r)
+    try:
+        host.desc.activate(host.h)  # retry hook
+        y = host.run(x, 90.0)
+        assert host.latency[0] == 1792.0
+        assert not np.array_equal(y, x)  # processing, not bypass
+    finally:
+        host.close()
+        proc.terminate()
+        proc.wait(timeout=10)

@@ -181,3 +181,14 @@ def test_meter_svg():
     assert 'linearGradient id="lvl"' in svg
     assert svg.count("<stop") == 4  # green/yellow/orange/red zones
     assert "<line" in svg and ">-24<" in svg  # tick ruler with labels
+
+
+def test_ruler_aligns_with_meter_bars():
+    """The dB ruler's bracket must sit in the same column as the meter
+    bars' bracket (round-2 self-review: it was one column off)."""
+    from phaserotate_tpu.gui import render_ruler
+
+    m = MeterValues(in_cur=0.5, in_mom=0.5, in_peak=0.5)
+    bar_row = render_channel(m, "ch0", width=48).splitlines()[0]
+    ruler_row = render_ruler(48, indent=9).splitlines()[0]
+    assert bar_row.index("[") == ruler_row.index("[")
