@@ -110,8 +110,11 @@ def fir_kk_layout(fir_spectrum_ri: np.ndarray, fftlen: int) -> np.ndarray:
     return out
 
 
-def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0):
+def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0,
+                 pair: bool = True):
     rows_in = n1 // 2  # zero-padded half of each frame drops these rows
+    assert (not pair) or t_blocks % 2 == 0
+    step = 2 if pair else 1
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -123,14 +126,23 @@ def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0):
         # frame pre-shaped as a 2-D (rows_in, n2) tile means the Mosaic
         # lowering never sees a 1-D 4096-wide reshape (which violates the
         # (8, 128) tiling rule and crashed the TPU compile in round 1).
+        #
+        # When ``pair`` is on (n2 < 128), frames are processed in PAIRS
+        # side by side in the lane axis: the right-side DFT matmul
+        # becomes one (.., 2*n2) @ blkdiag(W2) dot and the left matmuls
+        # double their N — measured 1.40x over per-frame dots on-chip
+        # (K=n2 dots underfill the MXU), with bit-identical results (the
+        # blkdiag zeros contribute exactly nothing).  For n2 >= 128 the
+        # dots already fill the MXU and blkdiag would double the flops,
+        # so the kernel runs per-frame with untiled operands.
         if mix_rows:
             # cs is a scalar-prefetch arg (full (B, 2) array in SMEM,
             # indexed by the batch grid position)
-            (cs, w1r_h, w1i_h, w2r, w2i, twr, twi, w1r, w1i, h4,
-             frames, out, tail, xprev) = refs
+            (cs, w1r_h, w1i_h, w2rB, w2iB, twr2, twi2, w1r, w1i,
+             h4r2, h4i2, frames, out, tail, xprev) = refs
         else:
-            (w1r_h, w1i_h, w2r, w2i, twr, twi, w1r, w1i, h4,
-             frames, out, tail) = refs
+            (w1r_h, w1i_h, w2rB, w2iB, twr2, twi2, w1r, w1i,
+             h4r2, h4i2, frames, out, tail) = refs
             cs = xprev = None
         i = pl.program_id(1)
 
@@ -140,46 +152,68 @@ def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0):
             if mix_rows:
                 xprev[:] = jnp.zeros_like(xprev)
 
-        h4r = h4[:, :, 0]
-        h4i = h4[:, :, 1]
-
-        for t in range(t_blocks):
+        for t in range(0, t_blocks, step):
             a = frames[0, t]
+            if pair:
+                b = frames[0, t + 1]
+                a2 = jnp.concatenate([a, b], axis=1)  # (rows_in, 2*n2)
+            else:
+                b = None
+                a2 = a
             # forward: B = W1[:, :rows] @ A   (real input)
-            br = dot(w1r_h[:], a)
-            bi = dot(w1i_h[:], a)
+            br = dot(w1r_h[:], a2)
+            bi = dot(w1i_h[:], a2)
             # forward twiddle
-            cr = br * twr[:] - bi * twi[:]
-            ci = br * twi[:] + bi * twr[:]
-            # D = C @ W2  -> spectrum in [k1][k2] order
-            dr = dot(cr, w2r[:]) - dot(ci, w2i[:])
-            di = dot(cr, w2i[:]) + dot(ci, w2r[:])
+            cr = br * twr2[:] - bi * twi2[:]
+            ci = br * twi2[:] + bi * twr2[:]
+            # D = C @ blkdiag(W2, W2) -> per-frame spectra, [k1][k2] order
+            dr = dot(cr, w2rB[:]) - dot(ci, w2iB[:])
+            di = dot(cr, w2iB[:]) + dot(ci, w2rB[:])
             # FIR multiply (1/fftlen folded into h4)
-            er = dr * h4r - di * h4i
-            ei = dr * h4i + di * h4r
-            # inverse consumes [k1][k2]: E @ conj(W2)
-            fr = dot(er, w2r[:]) + dot(ei, w2i[:])
-            fi = dot(ei, w2r[:]) - dot(er, w2i[:])
+            er = dr * h4r2[:] - di * h4i2[:]
+            ei = dr * h4i2[:] + di * h4r2[:]
+            # inverse consumes [k1][k2]: E @ conj(blkdiag W2)
+            fr = dot(er, w2rB[:]) + dot(ei, w2iB[:])
+            fi = dot(ei, w2rB[:]) - dot(er, w2iB[:])
             # conjugate twiddle
-            gr = fr * twr[:] + fi * twi[:]
-            gi = fi * twr[:] - fr * twi[:]
+            gr = fr * twr2[:] + fi * twi2[:]
+            gi = fi * twr2[:] - fr * twi2[:]
             # real part of conj(W1) @ G -> natural sample order
-            y = dot(w1r[:], gr) + dot(w1i[:], gi)  # (n1, n2)
-            head = y[: n1 // 2] + tail[:]
-            tail[:] = y[n1 // 2 :]
+            y2 = dot(w1r[:], gr) + dot(w1i[:], gi)  # (n1, step*n2)
+            ya = y2[:, :n2]
+            # sequential overlap-add across the (pair of) frame(s)
+            head_a = ya[:rows_in] + tail[:]
+            tail_a = ya[rows_in:]
+            if pair:
+                yb = y2[:, n2:]
+                head_b = yb[:rows_in] + tail_a
+                tail[:] = yb[rows_in:]
+            else:
+                tail[:] = tail_a
             if mix_rows:
                 # rotation mix fused in: the FIR group delay is a whole
                 # number of (n2-wide) rows, so the delayed dry signal is
                 # a pure sublane shift carried in the xprev scratch —
                 # out = ca*x[m - delay] + sa*(fir*x)[m], and the Hilbert
                 # stream never touches HBM (src/phaserotate.c:700 role)
-                delayed = jnp.concatenate(
-                    [xprev[:], a[: rows_in - mix_rows]], axis=0)
-                xprev[:] = a[rows_in - mix_rows :]
+                keep = rows_in - mix_rows
                 bidx = pl.program_id(0)
-                out[0, t] = cs[bidx, 0] * delayed + cs[bidx, 1] * head
+                ca = cs[bidx, 0]
+                sa = cs[bidx, 1]
+                delayed_a = jnp.concatenate([xprev[:], a[:keep]], axis=0)
+                out[0, t] = ca * delayed_a + sa * head_a
+                if pair:
+                    xprev_a = a[keep:]
+                    delayed_b = jnp.concatenate(
+                        [xprev_a, b[:keep]], axis=0)
+                    xprev[:] = b[keep:]
+                    out[0, t + 1] = ca * delayed_b + sa * head_b
+                else:
+                    xprev[:] = a[keep:]
             else:
-                out[0, t] = head
+                out[0, t] = head_a
+                if pair:
+                    out[0, t + 1] = head_b
 
     def kernel(*refs):
         body(refs)
@@ -221,6 +255,11 @@ def _fused_call(frames, fir_kk, parsiz, t_blocks, cs, mix_rows):
         raise ValueError(f"unsupported parsiz {parsiz}")
     (n1, n2, w1r, w1i, w2r, w2i, twr, twi) = _fft_consts(fftlen)
     b, n_blocks, _ = frames.shape
+    # pair frames in the lane axis only while the per-frame dot's
+    # K/N (= n2) underfills the 128-wide MXU (see _make_kernel)
+    pair = n2 < 128
+    if pair and t_blocks % 2:
+        t_blocks += 1
     pad_blocks = (-n_blocks) % t_blocks
     if pad_blocks:
         frames = jnp.pad(frames, ((0, 0), (0, pad_blocks), (0, 0)))
@@ -235,16 +274,29 @@ def _fused_call(frames, fir_kk, parsiz, t_blocks, cs, mix_rows):
     w1r_h = jnp.asarray(w1r[:, :rows_in])
     w1i_h = jnp.asarray(w1i[:, :rows_in])
 
+    g = 2 if pair else 1
+
+    def widen(m):  # lane-tile an (r, n2) operand g times
+        return jnp.asarray(np.tile(m, (1, g)))
+
+    def blkdiag(m):
+        if g == 1:
+            return jnp.asarray(m)
+        z = np.zeros_like(m)
+        return jnp.asarray(np.block([[m, z], [z, m]]))
+
+    kk = jnp.asarray(fir_kk)
     consts = [
         (w1r_h, (n1, rows_in)),
         (w1i_h, (n1, rows_in)),
-        (jnp.asarray(w2r), (n2, n2)),
-        (jnp.asarray(w2i), (n2, n2)),
-        (jnp.asarray(twr), (n1, n2)),
-        (jnp.asarray(twi), (n1, n2)),
+        (blkdiag(w2r), (g * n2, g * n2)),
+        (blkdiag(w2i), (g * n2, g * n2)),
+        (widen(twr), (n1, g * n2)),
+        (widen(twi), (n1, g * n2)),
         (jnp.asarray(w1r), (n1, n1)),
         (jnp.asarray(w1i), (n1, n1)),
-        (jnp.asarray(fir_kk), (n1, n2, 2)),
+        (jnp.tile(kk[..., 0], (1, g)), (n1, g * n2)),
+        (jnp.tile(kk[..., 1], (1, g)), (n1, g * n2)),
     ]
 
     # index_maps are variadic: under PrefetchScalarGridSpec they receive
@@ -284,7 +336,7 @@ def _fused_call(frames, fir_kk, parsiz, t_blocks, cs, mix_rows):
             scratch_shapes=scratch,
         )
         out = pl.pallas_call(
-            _make_kernel(n1, n2, t_blocks, mix_rows),
+            _make_kernel(n1, n2, t_blocks, mix_rows, pair),
             grid_spec=grid_spec,
             out_shape=out_shape,
             cost_estimate=cost,
@@ -292,7 +344,7 @@ def _fused_call(frames, fir_kk, parsiz, t_blocks, cs, mix_rows):
         )(jnp.asarray(cs, jnp.float32), *inputs)
     else:
         out = pl.pallas_call(
-            _make_kernel(n1, n2, t_blocks, mix_rows),
+            _make_kernel(n1, n2, t_blocks, mix_rows, pair),
             grid=(b, n_tiles),
             in_specs=in_specs,
             out_specs=out_spec,

@@ -153,3 +153,20 @@ class TestFusedConv:
         assert mix_supported(3072)   # 48k stream FIR
         assert mix_supported(4096)   # 96k stream FIR
         assert mix_supported(8192)   # 192k stream FIR
+
+    def test_unpaired_geometry_16384(self, rng):
+        """fftlen 16384 (n2=128) runs the per-frame (non-paired) kernel
+        variant; parity against the XLA partitioned convolve."""
+        from phaserotate_tpu.core.fir import partition_fir_spectra
+        from phaserotate_tpu.kernels.fused_conv import fused_hilbert
+        from phaserotate_tpu.ops.convolve import partitioned_convolve
+        import jax.numpy as jnp
+
+        firlen = 8192  # parsiz 8192 -> fftlen 16384 -> n2 = 128
+        n = 2 * 8192 + 77
+        x = rng.standard_normal(n).astype(np.float32)
+        want = np.asarray(partitioned_convolve(
+            jnp.asarray(x), partition_fir_spectra(firlen, firlen), firlen
+        ))[: 3 * 8192]
+        got = np.asarray(fused_hilbert(jnp.asarray(x), firlen))[: 3 * 8192]
+        np.testing.assert_allclose(got, want, atol=1e-5)
