@@ -52,6 +52,14 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def _split(m: int) -> Tuple[int, int]:
+    """4-step factorization (n1, n2) of an m-point FFT.
+
+    The lane factor n2 is pinned to 64 for m >= 8192 so frame tiles stay
+    (rows, 64) and the paired kernel variant keeps every matmul at
+    K >= 128 (full MXU depth); smaller m falls back to the near-square
+    split."""
+    if m >= 8192:
+        return m // 64, 64
     p = m.bit_length() - 1
     n1 = 1 << ((p + 1) // 2)  # prefer larger row dim (sublane-major)
     return n1, m // n1

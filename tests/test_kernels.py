@@ -154,9 +154,9 @@ class TestFusedConv:
         assert mix_supported(4096)   # 96k stream FIR
         assert mix_supported(8192)   # 192k stream FIR
 
-    def test_unpaired_geometry_16384(self, rng):
-        """fftlen 16384 (n2=128) runs the per-frame (non-paired) kernel
-        variant; parity against the XLA partitioned convolve."""
+    def test_geometry_16384(self, rng):
+        """fftlen 16384 (split 256x64, paired): parity against the XLA
+        partitioned convolve."""
         from phaserotate_tpu.core.fir import partition_fir_spectra
         from phaserotate_tpu.kernels.fused_conv import fused_hilbert
         from phaserotate_tpu.ops.convolve import partitioned_convolve
