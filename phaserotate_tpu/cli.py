@@ -27,7 +27,7 @@ import numpy as np
 from . import __version__
 from .core.angles import MAXSAMPLE, SUBSAMPLE, angle_units_from_degrees
 from .core.sizes import MAX_BLKSIZ, MIN_BLKSIZ, OfflineGeometry, default_blksiz
-from .io.wav import WavFormatError, read_wav, write_wav
+from .io import WavFormatError, read_audio, write_audio
 from .search import apply_angles, select_min_peak_angles, sweep_peaks_aux
 from .search.minimize import coeff_to_db
 
@@ -146,7 +146,7 @@ def _main(argv: Optional[List[str]] = None) -> int:
     verbose_fd = sys.stderr if verbose > 1 else sys.stdout
 
     try:
-        audio, rate, meta = read_wav(args.file)
+        audio, rate, meta = read_audio(args.file)
     except (OSError, WavFormatError) as e:
         print(f"Cannot open '{args.file}' for reading: {e}", file=sys.stderr)
         return 1
@@ -242,7 +242,7 @@ def _main(argv: Optional[List[str]] = None) -> int:
     if args.out_file:
         y = np.asarray(apply_angles(audio, np.asarray(angles), geom))
         try:
-            write_wav(args.out_file, y, rate, meta)
+            write_audio(args.out_file, y, rate, meta, like=args.file)
         except OSError as e:
             print(f"Cannot open '{args.out_file}' for writing: {e}",
                   file=sys.stderr)

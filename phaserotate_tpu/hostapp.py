@@ -20,7 +20,7 @@ import numpy as np
 
 from .gui.client import UIClient
 from .gui.render import render_channel
-from .io.wav import read_wav, write_wav
+from .io import read_audio, write_audio
 from .plugin.descriptors import descriptor_for_channels
 from .plugin.lifecycle import PhaseRotatePlugin
 from .plugin.uris import PortIndex
@@ -90,7 +90,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "the audio streams (loops the file; q quits)")
     args = ap.parse_args(argv)
 
-    audio, rate, meta = read_wav(args.infile)
+    audio, rate, meta = read_audio(args.infile)
     channels = min(audio.shape[0], 2)
     audio = audio[:channels]
     host = StandaloneHost(rate, channels, args.block)
@@ -113,7 +113,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             # the user may quit mid-file: write (and report) what was
             # actually captured, never a silently-truncated "full" file
             n = min(audio.shape[1], max(0, stream.shape[1] - lat))
-            write_wav(args.outfile, stream[:, lat : lat + n], rate, meta)
+            write_audio(args.outfile, stream[:, lat : lat + n], rate, meta, like=args.infile)
             suffix = "" if n == audio.shape[1] else \
                 f" — stopped early, {audio.shape[1] - n} frames not played"
             print(f"wrote {args.outfile} ({n} frames, latency {lat} "
@@ -161,7 +161,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             outs.append(host.process(np.zeros((channels, block), np.float32)))
         stream = np.concatenate(outs, axis=1)
         full = stream[:, lat : lat + n]
-        write_wav(args.outfile, full, rate, meta)
+        write_audio(args.outfile, full, rate, meta, like=args.infile)
         print(f"wrote {args.outfile} ({n} frames, latency {lat} compensated)")
     return 0
 

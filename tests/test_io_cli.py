@@ -200,3 +200,87 @@ def test_cli_profile_trace(tmp_path, monkeypatch, capsys):
     found = list(trace_dir.rglob("*.xplane.pb")) + \
         list(trace_dir.rglob("*trace*"))
     assert found, "no trace artifacts written"
+
+
+class TestAiff:
+    def test_roundtrip_bits(self, tmp_path, rng):
+        from phaserotate_tpu.io import read_aiff, write_aiff
+
+        x = np.clip(0.5 * rng.standard_normal((2, 3000)), -0.99,
+                    0.99).astype(np.float32)
+        for bits, tol in ((16, 1 / 32768), (24, 1 / 8388608),
+                          (32, 1e-7)):
+            p = tmp_path / f"a{bits}.aiff"
+            write_aiff(str(p), x, 44100, bits=bits)
+            y, rate, _ = read_aiff(str(p))
+            assert rate == 44100 and y.shape == x.shape
+            assert np.abs(y - x).max() <= tol
+
+    def test_f80_rates(self, tmp_path):
+        from phaserotate_tpu.io import read_aiff, write_aiff
+
+        for rate in (8000, 22050, 44100, 48000, 96000, 192000):
+            p = tmp_path / "r.aiff"
+            write_aiff(str(p), np.zeros(100, np.float32), rate)
+            _, got, _ = read_aiff(str(p))
+            assert got == rate
+
+    def test_metadata_text_chunks(self, tmp_path):
+        from phaserotate_tpu.io import read_aiff, write_aiff
+
+        meta = WavMetadata()
+        meta.info[b"INAM"] = "My Song"
+        meta.info[b"IART"] = "An Artist"
+        p = tmp_path / "m.aiff"
+        write_aiff(str(p), np.zeros(64, np.float32), 48000, meta=meta)
+        _, _, got = read_aiff(str(p))
+        assert got.info[b"INAM"] == "My Song"
+        assert got.info[b"IART"] == "An Artist"
+
+    def test_dispatch_sniffs_and_writes_by_ext(self, tmp_path, rng):
+        from phaserotate_tpu.io import read_audio, write_audio
+
+        x = np.clip(0.3 * rng.standard_normal(500), -0.99,
+                    0.99).astype(np.float32)
+        a = tmp_path / "x.aiff"
+        w = tmp_path / "x.wav"
+        write_audio(str(a), x, 48000)
+        write_audio(str(w), x, 48000)
+        assert a.read_bytes()[:4] == b"FORM"
+        assert w.read_bytes()[:4] == b"RIFF"
+        ya, ra, _ = read_audio(str(a))
+        yw, rw, _ = read_audio(str(w))
+        assert ra == rw == 48000
+        np.testing.assert_allclose(ya[0], yw[0], atol=1 / 8388608)
+
+    def test_truncated_aiff_rejected(self, tmp_path):
+        from phaserotate_tpu.io import read_aiff, write_aiff
+        from phaserotate_tpu.io.wav import WavFormatError
+
+        p = tmp_path / "t.aiff"
+        write_aiff(str(p), np.zeros(1000, np.float32), 48000)
+        cut = tmp_path / "cut.aiff"
+        cut.write_bytes(p.read_bytes()[:-50])
+        with pytest.raises(WavFormatError, match="truncated"):
+            read_aiff(str(cut))
+
+    def test_cli_end_to_end_aiff(self, tmp_path, capsys):
+        """Analyze and apply on an AIFF input; output inherits AIFF."""
+        from phaserotate_tpu import cli
+        from phaserotate_tpu.io import read_aiff, write_aiff
+        from phaserotate_tpu.ops import rotate_fir
+
+        rng2 = np.random.default_rng(3)
+        x = (0.4 * rng2.standard_normal(30000)).astype(np.float32)
+        src = tmp_path / "in.aiff"
+        write_aiff(str(src), x, 48000, bits=32)
+        assert cli.main([str(src)]) == 0  # analysis runs
+        out = capsys.readouterr().out
+        assert "Phase:" in out or "deg" in out
+
+        dst = tmp_path / "out.aiff"
+        assert cli.main(["-a", "0", str(src), str(dst)]) == 0
+        y, rate, _ = read_aiff(str(dst))
+        x32, _, _ = read_aiff(str(src))
+        assert rate == 48000
+        np.testing.assert_allclose(y[0], x32[0], atol=2 / 8388608)
