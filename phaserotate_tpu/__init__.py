@@ -50,3 +50,25 @@ def find_min_peak_angle(audio, rate: int = 48000, **kwargs):
     from .search import find_min_peak_angle as _impl
 
     return _impl(audio, rate=rate, **kwargs)
+
+
+_LAZY = {
+    "PhaseRotator": "models",
+    "OfflineRotator": "models",
+    "AngleAnalyzer": "models",
+    "StreamingRotator": "stream",
+    "read_audio": "io",
+    "write_audio": "io",
+}
+__all__ += sorted(_LAZY)
+
+
+def __getattr__(name):
+    """Lazy top-level access to the model classes and audio I/O without
+    importing their (jax-heavy) modules at package import."""
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(f".{_LAZY[name]}", __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -56,7 +56,11 @@ def is_aiff(blob: bytes) -> bool:
 
 
 def read_aiff(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
-    """Read an AIFF/AIFF-C file -> ((channels, n) float32, rate, meta)."""
+    """Read an AIFF/AIFF-C file -> ((channels, n) float32, rate, meta).
+
+    Every malformation raises :class:`WavFormatError` (never a bare
+    struct/ValueError), so callers handle WAV and AIFF identically.
+    """
     with open(path, "rb") as f:
         blob = f.read()
     if not is_aiff(blob):
@@ -77,6 +81,8 @@ def read_aiff(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
                 f"{size} bytes, file has {len(blob) - pos - 8}")
         payload = blob[pos + 8 : pos + 8 + size]
         if cid == b"COMM":
+            if size < 18:
+                raise WavFormatError(f"{path}: short COMM chunk ({size})")
             channels, frames = struct.unpack_from(">hI", payload, 0)
             (bits,) = struct.unpack_from(">h", payload, 6)
             rate = _read_f80(payload[8:18])
@@ -84,7 +90,11 @@ def read_aiff(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
                 compression = payload[18:22]
             comm = (channels, frames, bits, rate)
         elif cid == b"SSND":
+            if size < 8:
+                raise WavFormatError(f"{path}: short SSND chunk ({size})")
             offset, _blocksize = struct.unpack_from(">II", payload, 0)
+            if 8 + offset > len(payload):
+                raise WavFormatError(f"{path}: bad SSND offset {offset}")
             ssnd = payload[8 + offset :]
         elif cid in _TEXT_MAP:
             meta.info[_TEXT_MAP[cid]] = payload.rstrip(b"\x00").decode(
@@ -94,11 +104,14 @@ def read_aiff(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     if comm is None or ssnd is None:
         raise WavFormatError(f"{path}: missing COMM/SSND chunk")
     channels, frames, bits, rate = comm
-    if channels < 1 or rate <= 0:
+    if channels < 1 or not math.isfinite(rate) or not (
+            1.0 <= rate < 2**31):
         raise WavFormatError(f"{path}: bad COMM ({channels} ch @ {rate})")
 
     if compression in (b"NONE", b"sowt"):
         little = compression == b"sowt"
+        width = bits // 8
+        ssnd = ssnd[: (len(ssnd) // max(width, 1)) * max(width, 1)]
         if bits == 16:
             dt = "<i2" if little else ">i2"
             flat = np.frombuffer(ssnd, dt).astype(np.float32) / 32768.0
@@ -122,13 +135,19 @@ def read_aiff(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
         else:
             raise WavFormatError(f"{path}: unsupported PCM width {bits}")
     elif compression in (b"fl32", b"FL32"):
-        flat = np.frombuffer(ssnd, ">f4").astype(np.float32)
+        flat = np.frombuffer(ssnd[: (len(ssnd) // 4) * 4],
+                             ">f4").astype(np.float32)
     else:
         raise WavFormatError(
             f"{path}: unsupported AIFF-C compression {compression!r}")
 
-    n = min(frames, len(flat) // channels)
-    audio = flat[: n * channels].reshape(n, channels).T.copy()
+    if len(flat) // channels < frames:
+        # short audio must be an error, not a silently shorter file —
+        # the same policy as the WAV reader's truncation check
+        raise WavFormatError(
+            f"{path}: SSND holds {len(flat) // channels} frames, COMM "
+            f"declares {frames}")
+    audio = flat[: frames * channels].reshape(frames, channels).T.copy()
     return audio, int(round(rate)), meta
 
 
@@ -137,13 +156,23 @@ def write_aiff(
     audio: np.ndarray,
     rate: int,
     meta: Optional[WavMetadata] = None,
-    bits: int = 24,
+    bits: int = 32,
+    float_format: bool = True,
 ) -> None:
-    """Write an AIFF file (big-endian PCM; bits in {16, 24, 32})."""
+    """Write an AIFF file.
+
+    Defaults to AIFF-C fl32 (32-bit float — no quantization of the
+    rotated output, matching the WAV writer's default); pass
+    ``float_format=False`` with bits in {16, 24, 32} for classic
+    big-endian PCM AIFF.
+    """
     x = np.atleast_2d(np.asarray(audio, np.float32))
     channels, n = x.shape
     flat = x.T.reshape(-1)
-    if bits == 16:
+    if float_format:
+        data = flat.astype(">f4").tobytes()
+        bits = 32
+    elif bits == 16:
         pcm = np.clip(np.rint(flat * 32768.0), -32768, 32767).astype(">i2")
         data = pcm.tobytes()
     elif bits == 24:
@@ -163,6 +192,10 @@ def write_aiff(
 
     chunks = []
     comm = struct.pack(">hIh", channels, n, bits) + _write_f80(float(rate))
+    if float_format:
+        # AIFF-C compression type + pascal-string name (even total)
+        comm += b"fl32" + b"\x07float32"
+        chunks.append(b"FVER" + struct.pack(">II", 4, 0xA2805140))
     chunks.append(b"COMM" + struct.pack(">I", len(comm)) + comm)
     for info_id, text in (meta.info.items() if meta else ()):
         cid = _TEXT_MAP_INV.get(info_id)
@@ -175,6 +208,6 @@ def write_aiff(
     chunks.append(b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
                   + (b"\x00" if len(ssnd) & 1 else b""))
 
-    body = b"AIFF" + b"".join(chunks)
+    body = (b"AIFC" if float_format else b"AIFF") + b"".join(chunks)
     with open(path, "wb") as f:
         f.write(b"FORM" + struct.pack(">I", len(body)) + body)

@@ -29,6 +29,14 @@ def read_audio(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     return read_wav(path)
 
 
+def _sniff_is_aiff(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return is_aiff(f.read(12))
+    except OSError:
+        return False
+
+
 def write_audio(
     path: str,
     audio: np.ndarray,
@@ -36,14 +44,15 @@ def write_audio(
     meta: Optional[WavMetadata] = None,
     like: Optional[str] = None,
 ) -> None:
-    """Write by output extension (.aiff/.aif/.aifc -> AIFF, else WAV);
+    """Write by output extension (.aiff/.aif/.aifc -> AIFF, .wav -> WAV);
     with no recognizable extension, follow the format of ``like`` (the
-    input path) the way the reference's write path inherits the input's
-    major format."""
+    input file, sniffed by CONTENT like the read path — an extension-less
+    AIFF input keeps producing AIFF) the way the reference's write path
+    inherits the input's major format."""
     lower = path.lower()
     if lower.endswith(_AIFF_EXT) or (
-        not lower.endswith(".wav") and like
-        and like.lower().endswith(_AIFF_EXT)
+        not lower.endswith(".wav") and like is not None
+        and _sniff_is_aiff(like)
     ):
         write_aiff(path, audio, rate, meta)
         return

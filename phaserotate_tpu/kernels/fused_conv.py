@@ -118,11 +118,9 @@ def fir_kk_layout(fir_spectrum_ri: np.ndarray, fftlen: int) -> np.ndarray:
     return out
 
 
-def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0,
-                 pair: bool = True):
+def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0):
     rows_in = n1 // 2  # zero-padded half of each frame drops these rows
-    assert (not pair) or t_blocks % 2 == 0
-    step = 2 if pair else 1
+    assert t_blocks % 2 == 0 and n2 < 128  # guaranteed by _split
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -135,14 +133,13 @@ def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0,
         # lowering never sees a 1-D 4096-wide reshape (which violates the
         # (8, 128) tiling rule and crashed the TPU compile in round 1).
         #
-        # When ``pair`` is on (n2 < 128), frames are processed in PAIRS
-        # side by side in the lane axis: the right-side DFT matmul
-        # becomes one (.., 2*n2) @ blkdiag(W2) dot and the left matmuls
-        # double their N — measured 1.40x over per-frame dots on-chip
-        # (K=n2 dots underfill the MXU), with bit-identical results (the
-        # blkdiag zeros contribute exactly nothing).  For n2 >= 128 the
-        # dots already fill the MXU and blkdiag would double the flops,
-        # so the kernel runs per-frame with untiled operands.
+        # Frames are processed in PAIRS side by side in the lane axis
+        # (every supported geometry has n2 = 64, see _split): the
+        # right-side DFT matmul becomes one (.., 2*n2) @ blkdiag(W2) dot
+        # and the left matmuls double their N — measured 1.40x over
+        # per-frame dots on-chip (K=n2 dots underfill the MXU), with
+        # bit-identical results (the blkdiag zeros contribute exactly
+        # nothing).  Twiddle/FIR operands arrive pre-tiled to (n1, 2*n2).
         if mix_rows:
             # cs is a scalar-prefetch arg (full (B, 2) array in SMEM,
             # indexed by the batch grid position)
@@ -160,14 +157,10 @@ def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0,
             if mix_rows:
                 xprev[:] = jnp.zeros_like(xprev)
 
-        for t in range(0, t_blocks, step):
+        for t in range(0, t_blocks, 2):
             a = frames[0, t]
-            if pair:
-                b = frames[0, t + 1]
-                a2 = jnp.concatenate([a, b], axis=1)  # (rows_in, 2*n2)
-            else:
-                b = None
-                a2 = a
+            b = frames[0, t + 1]
+            a2 = jnp.concatenate([a, b], axis=1)  # (rows_in, 2*n2)
             # forward: B = W1[:, :rows] @ A   (real input)
             br = dot(w1r_h[:], a2)
             bi = dot(w1i_h[:], a2)
@@ -186,18 +179,15 @@ def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0,
             # conjugate twiddle
             gr = fr * twr2[:] + fi * twi2[:]
             gi = fi * twr2[:] - fr * twi2[:]
-            # real part of conj(W1) @ G -> natural sample order
-            y2 = dot(w1r[:], gr) + dot(w1i[:], gi)  # (n1, step*n2)
+            # real part of conj(W1) @ G -> natural sample order, paired
+            y2 = dot(w1r[:], gr) + dot(w1i[:], gi)  # (n1, 2*n2)
             ya = y2[:, :n2]
-            # sequential overlap-add across the (pair of) frame(s)
+            yb = y2[:, n2:]
+            # sequential overlap-add across the pair
             head_a = ya[:rows_in] + tail[:]
             tail_a = ya[rows_in:]
-            if pair:
-                yb = y2[:, n2:]
-                head_b = yb[:rows_in] + tail_a
-                tail[:] = yb[rows_in:]
-            else:
-                tail[:] = tail_a
+            head_b = yb[:rows_in] + tail_a
+            tail[:] = yb[rows_in:]
             if mix_rows:
                 # rotation mix fused in: the FIR group delay is a whole
                 # number of (n2-wide) rows, so the delayed dry signal is
@@ -209,19 +199,14 @@ def _make_kernel(n1: int, n2: int, t_blocks: int, mix_rows: int = 0,
                 ca = cs[bidx, 0]
                 sa = cs[bidx, 1]
                 delayed_a = jnp.concatenate([xprev[:], a[:keep]], axis=0)
+                xprev_a = a[keep:]
+                delayed_b = jnp.concatenate([xprev_a, b[:keep]], axis=0)
+                xprev[:] = b[keep:]
                 out[0, t] = ca * delayed_a + sa * head_a
-                if pair:
-                    xprev_a = a[keep:]
-                    delayed_b = jnp.concatenate(
-                        [xprev_a, b[:keep]], axis=0)
-                    xprev[:] = b[keep:]
-                    out[0, t + 1] = ca * delayed_b + sa * head_b
-                else:
-                    xprev[:] = a[keep:]
+                out[0, t + 1] = ca * delayed_b + sa * head_b
             else:
                 out[0, t] = head_a
-                if pair:
-                    out[0, t + 1] = head_b
+                out[0, t + 1] = head_b
 
     def kernel(*refs):
         body(refs)
@@ -263,10 +248,7 @@ def _fused_call(frames, fir_kk, parsiz, t_blocks, cs, mix_rows):
         raise ValueError(f"unsupported parsiz {parsiz}")
     (n1, n2, w1r, w1i, w2r, w2i, twr, twi) = _fft_consts(fftlen)
     b, n_blocks, _ = frames.shape
-    # pair frames in the lane axis only while the per-frame dot's
-    # K/N (= n2) underfills the 128-wide MXU (see _make_kernel)
-    pair = n2 < 128
-    if pair and t_blocks % 2:
+    if t_blocks % 2:  # frames are processed in pairs
         t_blocks += 1
     pad_blocks = (-n_blocks) % t_blocks
     if pad_blocks:
@@ -282,14 +264,10 @@ def _fused_call(frames, fir_kk, parsiz, t_blocks, cs, mix_rows):
     w1r_h = jnp.asarray(w1r[:, :rows_in])
     w1i_h = jnp.asarray(w1i[:, :rows_in])
 
-    g = 2 if pair else 1
-
-    def widen(m):  # lane-tile an (r, n2) operand g times
-        return jnp.asarray(np.tile(m, (1, g)))
+    def widen(m):  # lane-tile an (r, n2) operand for the frame pair
+        return jnp.asarray(np.tile(m, (1, 2)))
 
     def blkdiag(m):
-        if g == 1:
-            return jnp.asarray(m)
         z = np.zeros_like(m)
         return jnp.asarray(np.block([[m, z], [z, m]]))
 
@@ -297,14 +275,14 @@ def _fused_call(frames, fir_kk, parsiz, t_blocks, cs, mix_rows):
     consts = [
         (w1r_h, (n1, rows_in)),
         (w1i_h, (n1, rows_in)),
-        (blkdiag(w2r), (g * n2, g * n2)),
-        (blkdiag(w2i), (g * n2, g * n2)),
-        (widen(twr), (n1, g * n2)),
-        (widen(twi), (n1, g * n2)),
+        (blkdiag(w2r), (2 * n2, 2 * n2)),
+        (blkdiag(w2i), (2 * n2, 2 * n2)),
+        (widen(twr), (n1, 2 * n2)),
+        (widen(twi), (n1, 2 * n2)),
         (jnp.asarray(w1r), (n1, n1)),
         (jnp.asarray(w1i), (n1, n1)),
-        (jnp.tile(kk[..., 0], (1, g)), (n1, g * n2)),
-        (jnp.tile(kk[..., 1], (1, g)), (n1, g * n2)),
+        (jnp.tile(kk[..., 0], (1, 2)), (n1, 2 * n2)),
+        (jnp.tile(kk[..., 1], (1, 2)), (n1, 2 * n2)),
     ]
 
     # index_maps are variadic: under PrefetchScalarGridSpec they receive
@@ -344,7 +322,7 @@ def _fused_call(frames, fir_kk, parsiz, t_blocks, cs, mix_rows):
             scratch_shapes=scratch,
         )
         out = pl.pallas_call(
-            _make_kernel(n1, n2, t_blocks, mix_rows, pair),
+            _make_kernel(n1, n2, t_blocks, mix_rows),
             grid_spec=grid_spec,
             out_shape=out_shape,
             cost_estimate=cost,
@@ -352,7 +330,7 @@ def _fused_call(frames, fir_kk, parsiz, t_blocks, cs, mix_rows):
         )(jnp.asarray(cs, jnp.float32), *inputs)
     else:
         out = pl.pallas_call(
-            _make_kernel(n1, n2, t_blocks, mix_rows, pair),
+            _make_kernel(n1, n2, t_blocks, mix_rows),
             grid=(b, n_tiles),
             in_specs=in_specs,
             out_specs=out_spec,

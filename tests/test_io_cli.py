@@ -211,10 +211,11 @@ class TestAiff:
         for bits, tol in ((16, 1 / 32768), (24, 1 / 8388608),
                           (32, 1e-7)):
             p = tmp_path / f"a{bits}.aiff"
-            write_aiff(str(p), x, 44100, bits=bits)
+            write_aiff(str(p), x, 44100, bits=bits, float_format=False)
             y, rate, _ = read_aiff(str(p))
             assert rate == 44100 and y.shape == x.shape
             assert np.abs(y - x).max() <= tol
+            assert p.read_bytes()[8:12] == b"AIFF"  # classic PCM form
 
     def test_f80_rates(self, tmp_path):
         from phaserotate_tpu.io import read_aiff, write_aiff
@@ -284,3 +285,72 @@ class TestAiff:
         x32, _, _ = read_aiff(str(src))
         assert rate == 48000
         np.testing.assert_allclose(y[0], x32[0], atol=2 / 8388608)
+
+    def test_malformed_aiff_raises_wavformaterror(self, tmp_path):
+        """Every malformation surfaces as WavFormatError so the CLI's
+        error handling covers AIFF like WAV (round-2 self-review)."""
+        from phaserotate_tpu.io import read_aiff
+        from phaserotate_tpu.io.wav import WavFormatError
+        import struct
+
+        def form(body):
+            return b"FORM" + struct.pack(">I", len(body) + 4) + b"AIFF" + body
+
+        cases = {
+            "short COMM": form(b"COMM" + struct.pack(">I", 4) + b"\x00" * 4),
+            "short SSND": form(
+                b"COMM" + struct.pack(">I", 18)
+                + struct.pack(">hIh", 1, 0, 16) + b"\x40\x0e" + b"\xac\x44"
+                + b"\x00" * 6
+                + b"SSND" + struct.pack(">I", 4) + b"\x00" * 4),
+            "missing chunks": form(b""),
+        }
+        for name, blob in cases.items():
+            p = tmp_path / "bad.aiff"
+            p.write_bytes(blob)
+            with pytest.raises(WavFormatError):
+                read_aiff(str(p))
+
+    def test_ssnd_shorter_than_comm_frames_raises(self, tmp_path):
+        from phaserotate_tpu.io import read_aiff, write_aiff
+        from phaserotate_tpu.io.wav import WavFormatError
+        import struct
+
+        p = tmp_path / "s.aiff"
+        write_aiff(str(p), np.zeros(1000, np.float32), 48000,
+                   float_format=False, bits=16)
+        blob = bytearray(p.read_bytes())
+        # inflate the declared COMM frame count past the SSND data
+        comm_at = blob.find(b"COMM")
+        struct.pack_into(">I", blob, comm_at + 8 + 2, 5000)
+        p2 = tmp_path / "s2.aiff"
+        p2.write_bytes(bytes(blob))
+        with pytest.raises(WavFormatError, match="frames"):
+            read_aiff(str(p2))
+
+    def test_float_default_is_lossless(self, tmp_path, rng):
+        """write_aiff defaults to AIFF-C fl32 — bit-exact roundtrip,
+        matching the WAV writer's float32 default (round-2 self-review:
+        the 24-bit default silently quantized AIFF outputs)."""
+        from phaserotate_tpu.io import read_aiff, write_aiff
+
+        x = rng.standard_normal((2, 2000)).astype(np.float32) * 1.7
+        p = tmp_path / "f.aiff"
+        write_aiff(str(p), x, 96000)
+        y, rate, _ = read_aiff(str(p))
+        assert rate == 96000
+        np.testing.assert_array_equal(y, x)
+        assert b"AIFC" in p.read_bytes()[:12]
+
+    def test_like_sniffs_content_not_extension(self, tmp_path, rng):
+        """An extension-less AIFF input keeps producing AIFF output."""
+        from phaserotate_tpu.io import read_audio, write_audio, write_aiff
+
+        x = (0.3 * rng.standard_normal(400)).astype(np.float32)
+        src = tmp_path / "master"  # no extension
+        write_aiff(str(src), x, 48000)
+        out = tmp_path / "out"  # no extension either
+        write_audio(str(out), x, 48000, like=str(src))
+        assert out.read_bytes()[:4] == b"FORM"
+        y, _, _ = read_audio(str(out))
+        np.testing.assert_array_equal(y[0], x)

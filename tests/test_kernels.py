@@ -155,7 +155,7 @@ class TestFusedConv:
         assert mix_supported(8192)   # 192k stream FIR
 
     def test_geometry_16384(self, rng):
-        """fftlen 16384 (split 256x64, paired): parity against the XLA
+        """fftlen 16384 (split 256x64): parity against the XLA
         partitioned convolve."""
         from phaserotate_tpu.core.fir import partition_fir_spectra
         from phaserotate_tpu.kernels.fused_conv import fused_hilbert
