@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from .client import MeterValues
 from .deflect import (
@@ -241,16 +241,47 @@ def meter_svg(m: MeterValues, width: int = 240, bar_h: int = 12) -> str:
     return "".join(parts)
 
 
-def faceplate_svg(size: int = 120, radius: float = 40.0) -> str:
-    """Dial faceplate: tick dots at 45-degree marks with labels
-    (prepare_faceplates, gui/phaserotate.c:117-177)."""
+def faceplate_svg(size: int = 120, radius: float = 40.0,
+                  angle: Optional[float] = None) -> str:
+    """Dial faceplate: shaded knob, tick dots at 45-degree marks with
+    labels (prepare_faceplates, gui/phaserotate.c:117-177); with
+    ``angle`` (degrees) it also draws the pointer line, a value arc from
+    the 0-detent, and the numeric readout — the full rendered dial, not
+    just the static plate."""
     cx = cy = size / 2.0
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" '
         f'height="{size}" viewBox="0 0 {size} {size}">',
+        '<defs><radialGradient id="knob" cx="0.35" cy="0.3" r="1.0">'
+        '<stop offset="0" stop-color="#666"/>'
+        '<stop offset="1" stop-color="#333"/></radialGradient></defs>',
         f'<circle cx="{cx}" cy="{cy}" r="{radius * 0.72:.1f}" '
-        'fill="#444" stroke="#999" stroke-width="1.5"/>',
+        'fill="url(#knob)" stroke="#999" stroke-width="1.5"/>',
     ]
+    if angle is not None:
+        ang = math.radians(angle - 90.0)
+        r_in = radius * 0.72
+        # value arc from the 0 detent (12 o'clock) to the pointer
+        a0, a1 = (-90.0, angle - 90.0) if angle >= 0 else \
+            (angle - 90.0, -90.0)
+        large = 1 if abs(angle) > 180 else 0
+        sx = cx + (radius - 3) * math.cos(math.radians(a0))
+        sy = cy + (radius - 3) * math.sin(math.radians(a0))
+        ex = cx + (radius - 3) * math.cos(math.radians(a1))
+        ey = cy + (radius - 3) * math.sin(math.radians(a1))
+        if abs(angle) > 0.05:
+            parts.append(
+                f'<path d="M {sx:.1f} {sy:.1f} A {radius - 3:.1f} '
+                f'{radius - 3:.1f} 0 {large} 1 {ex:.1f} {ey:.1f}" '
+                'fill="none" stroke="#4c8" stroke-width="2.5"/>')
+        px = cx + r_in * 0.92 * math.cos(ang)
+        py = cy + r_in * 0.92 * math.sin(ang)
+        parts.append(
+            f'<line x1="{cx}" y1="{cy}" x2="{px:.1f}" y2="{py:.1f}" '
+            'stroke="#eee" stroke-width="2.5" stroke-linecap="round"/>')
+        parts.append(
+            f'<text x="{cx}" y="{cy + radius * 0.35:.1f}" font-size="9" '
+            f'fill="#4c8" text-anchor="middle">{angle:+.1f}&#176;</text>')
     for deg in range(-180, 181, 45):
         # dial sweep: -180 deg at 7:30, +180 at 4:30 (270-degree sweep
         # is not used — the reference dial is threesixty: full circle)

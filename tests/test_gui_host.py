@@ -192,3 +192,17 @@ def test_ruler_aligns_with_meter_bars():
     bar_row = render_channel(m, "ch0", width=48).splitlines()[0]
     ruler_row = render_ruler(48, indent=9).splitlines()[0]
     assert bar_row.index("[") == ruler_row.index("[")
+
+
+def test_faceplate_with_pointer():
+    """The dial renders the pointer, value arc, and readout at an angle
+    (the live dial drawing of gui/phaserotate.c, not just the plate)."""
+    plate = faceplate_svg()
+    live = faceplate_svg(angle=35.0)
+    assert "<line" not in plate  # static plate: no pointer
+    assert "<line" in live and "+35.0" in live
+    assert "url(#knob)" in live  # shaded knob gradient
+    neg = faceplate_svg(angle=-90.0)
+    assert "-90.0" in neg and "<path" in neg  # value arc drawn
+    zero = faceplate_svg(angle=0.0)
+    assert "<path" not in zero  # detent: no arc
