@@ -53,7 +53,7 @@ def _medtime(fn, inputs):
     return statistics.median(runs)
 
 
-def bench_rotate(rate=48000, seconds=60, batch=48):
+def bench_rotate(rate=48000, seconds=60, batch=96):
     from phaserotate_tpu.ops import rotate_fir
 
     n = rate * seconds
@@ -65,7 +65,7 @@ def bench_rotate(rate=48000, seconds=60, batch=48):
     return batch * n / dt / rate  # x realtime
 
 
-def bench_search(rate=48000, seconds=10, batch=256):
+def bench_search(rate=48000, seconds=10, batch=512):
     from phaserotate_tpu.core.sizes import OfflineGeometry
     from phaserotate_tpu.search.sweep import _sweep_impl
 
