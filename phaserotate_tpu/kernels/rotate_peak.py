@@ -113,13 +113,15 @@ def rotate_peak_sweep_kernel(
     Args:
       b0, b1: (..., n) float32 aligned dry/Hilbert signals; leading dims
         (files, channels, ...) become a sequential batch grid axis.
-      cos_sin: (2, MAXSAMPLE) float32 stacked [cos; sin].
+      cos_sin: (2, A) float32 stacked [cos; sin] — the full MAXSAMPLE
+        table, or an angle SLICE (the angle-parallel path shards the
+        grid over devices; VPU work scales with the padded slice size).
       tile_len: samples per grid step (lane-axis width; the (A, T)
-        product must fit scoped VMEM: 384*T*4 bytes).
+        product must fit scoped VMEM: a_pad*T*4 bytes).
 
-    Returns (..., MAXSAMPLE) float32 — all 720 half-degree candidates of
-    the reference's serial sweep (cli/phase-rotate.cc:409-428) in one
-    kernel launch for the whole batch.
+    Returns (..., A) float32 — the candidates of the reference's serial
+    sweep (cli/phase-rotate.cc:409-428) in one kernel launch for the
+    whole batch.
     """
     batch_shape = b0.shape[:-1]
     n = b0.shape[-1]
@@ -133,14 +135,15 @@ def rotate_peak_sweep_kernel(
     s = s.reshape(bsz, 2, n_tiles * tile_len)
 
     a = cos_sin.shape[-1]
-    cs_t = jnp.pad(cos_sin.T, ((0, _SWEEP_A - a), (0, 0)))  # (A, 2)
+    a_pad = max(8, -(-a // 8) * 8)  # sublane multiple
+    cs_t = jnp.pad(cos_sin.T, ((0, a_pad - a), (0, 0)))  # (A_pad, 2)
 
     out = pl.pallas_call(
         _sweep_body,
         grid=(bsz, n_tiles),
         in_specs=[
             pl.BlockSpec(
-                (_SWEEP_A, 2), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+                (a_pad, 2), lambda b, i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, 2, tile_len), lambda b, i: (b, 0, i),
@@ -148,15 +151,15 @@ def rotate_peak_sweep_kernel(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, _SWEEP_A, 1), lambda b, i: (b, 0, 0),
+            (1, a_pad, 1), lambda b, i: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, _SWEEP_A, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, a_pad, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * n_tiles * tile_len * _SWEEP_A,
-            bytes_accessed=bsz * n_tiles * tile_len * 2 * 4 + _SWEEP_A * 4,
+            flops=2 * bsz * n_tiles * tile_len * a_pad,
+            bytes_accessed=bsz * n_tiles * tile_len * 2 * 4 + a_pad * 4,
             transcendentals=0,
         ),
         interpret=use_interpret(),
     )(cs_t, s)
-    return out[:, :MAXSAMPLE, 0].reshape(*batch_shape, MAXSAMPLE)
+    return out[:, :a, 0].reshape(*batch_shape, a)

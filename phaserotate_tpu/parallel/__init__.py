@@ -4,6 +4,7 @@ from .batch import (
     batch_find_min_peak_angles,
     batch_rotate,
     batch_sweep_peaks,
+    angle_sharded_sweep_peaks,
     sharded_rotate,
     sharded_sweep_peaks,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "file_mesh",
     "grid_mesh",
     "shard_files",
+    "angle_sharded_sweep_peaks",
     "sharded_rotate",
     "sharded_sweep_peaks",
 ]

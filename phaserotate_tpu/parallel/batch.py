@@ -42,6 +42,7 @@ __all__ = [
     "batch_find_min_peak_angles",
     "sharded_sweep_peaks",
     "sharded_rotate",
+    "angle_sharded_sweep_peaks",
 ]
 
 
@@ -305,3 +306,65 @@ def sharded_rotate(
     )
     y = fn(x_pad, turns)[..., :n]
     return y[0] if squeeze else y
+
+
+def angle_sharded_sweep_peaks(
+    x,
+    geom: OfflineGeometry,
+    mesh: Mesh,
+    axis: str = "files",
+    chunk: int = 4096,
+):
+    """Peak table with the ANGLE grid sharded across the mesh — the
+    domain's tensor parallelism, completing the axes inventory next to
+    data parallelism over files and sequence parallelism over samples.
+
+    The signal is replicated; each device sweeps its MAXSAMPLE/n_dev
+    slice of the 0.5-degree candidate grid (the Pallas kernel's VPU work
+    scales with the slice), and the slices ``all_gather`` into the full
+    replicated table.  Right for short single files where neither the
+    file nor the sample axis offers enough parallelism.
+
+    Returns ``(peaks (..., MAXSAMPLE), rot0)`` exactly like
+    :func:`phaserotate_tpu.search.sweep.sweep_peaks_aux` (parity-tested).
+    """
+    from ..search.sweep import aligned_pair
+
+    n_dev = mesh.shape[axis]
+    if MAXSAMPLE % n_dev:
+        raise ValueError(
+            f"{MAXSAMPLE} angles not divisible by {n_dev} devices")
+    a_loc = MAXSAMPLE // n_dev
+    x = jnp.asarray(x, jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    cs_full = all_angle_cos_sin()  # (2, MAXSAMPLE)
+
+    def shard_fn(x_rep):  # replicated signal on every device
+        from ..kernels.rotate_peak import rotate_peak_sweep_kernel
+
+        idx = jax.lax.axis_index(axis)
+        cs = jax.lax.dynamic_slice_in_dim(
+            cs_full, idx * a_loc, a_loc, axis=1)
+        b0, b1, h_start, x_peak = aligned_pair(x_rep, geom)
+        part = rotate_peak_sweep_kernel(b0, b1, cs, tile_len=chunk)
+        part = jnp.maximum(part, jnp.abs(cs[1]) * h_start[..., None])
+        table = jax.lax.all_gather(part, axis, axis=-1, tiled=True)
+        rot0 = table[..., 0]
+        table = table.at[..., 0].set(x_peak)
+        return table, rot0
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=P(),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    peaks, rot0 = fn(x)
+    if squeeze:
+        return peaks[0], rot0[0]
+    return peaks, rot0

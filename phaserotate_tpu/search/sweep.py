@@ -70,14 +70,12 @@ def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
     return full[..., : (n_blocks + 1) * parsiz]
 
 
-@functools.partial(jax.jit, static_argnames=("geom", "chunk"))
-def _sweep_impl(
-    x: jnp.ndarray,
-    geom: OfflineGeometry,
-    chunk: int,
-) -> jnp.ndarray:
-    from ..kernels.rotate_peak import rotate_peak_sweep_kernel
-
+def aligned_pair(x: jnp.ndarray, geom: OfflineGeometry):
+    """The evaluation operands of the CLI sweep (alignment map in the
+    module docstring): returns ``(b0, b1, h_start, x_peak)`` where
+    ``(b0, b1)`` are the aligned dry/Hilbert pairs for the post-start
+    stream positions, ``h_start`` the start-block Hilbert peak and
+    ``x_peak`` the raw input peak over every read block."""
     parsiz = geom.parsiz
     firlen = geom.firlen
     n_blocks = _offline_frames(x, parsiz)
@@ -91,16 +89,27 @@ def _sweep_impl(
     # aligned pairs for m in [parsiz, total)
     b0 = x_pad[..., parsiz - firlen : total - firlen]  # x[m - firlen]
     b1 = h[..., parsiz:total]
+    # start-block region: |sin| * max|h[firlen:parsiz]|
+    # (cli/phase-rotate.cc:418-419)
+    h_start = jnp.max(jnp.abs(h[..., firlen:parsiz]), axis=-1)
+    x_peak = jnp.max(jnp.abs(x_pad), axis=-1)
+    return b0, b1, h_start, x_peak
 
+
+@functools.partial(jax.jit, static_argnames=("geom", "chunk"))
+def _sweep_impl(
+    x: jnp.ndarray,
+    geom: OfflineGeometry,
+    chunk: int,
+) -> jnp.ndarray:
+    from ..kernels.rotate_peak import rotate_peak_sweep_kernel
+
+    b0, b1, h_start, x_peak = aligned_pair(x, geom)
     cs = all_angle_cos_sin()  # (2, 360)
 
     # fused Pallas sweep: every angle x every sample, batched over all
     # leading dims in one kernel launch
     peaks = rotate_peak_sweep_kernel(b0, b1, cs, tile_len=chunk)
-
-    # start-block region: |sin| * max|h[firlen:parsiz]|
-    # (cli/phase-rotate.cc:418-419)
-    h_start = jnp.max(jnp.abs(h[..., firlen:parsiz]), axis=-1)
     peaks = jnp.maximum(peaks, jnp.abs(cs[1]) * h_start[..., None])
     # aux: the "rotated by 0" peak (max|b0| over the aligned region) —
     # what a fine window crossing 360 writes into table slot 0 via the
@@ -108,7 +117,7 @@ def _sweep_impl(
     rot0 = peaks[..., 0]
     # angle 0 proper: raw input peak over every read block incl.
     # silence pad (cli/phase-rotate.cc:413-414)
-    peaks = peaks.at[..., 0].set(jnp.max(jnp.abs(x_pad), axis=-1))
+    peaks = peaks.at[..., 0].set(x_peak)
     return peaks, rot0
 
 

@@ -178,3 +178,22 @@ def test_sharded_rotate_shard_too_small(rng, mesh):
     with pytest.raises(ValueError, match="halo"):
         sharded_rotate(np.zeros(4000, np.float32), 0.0, mesh,
                        firlen=3072, axis="files")
+
+
+def test_angle_sharded_sweep_matches_unsharded(rng, mesh):
+    """Angle-grid sharding (the domain's tensor parallelism): sliced
+    sweeps all_gather into the exact full table."""
+    from phaserotate_tpu.parallel import angle_sharded_sweep_peaks
+
+    geom = OfflineGeometry(blksiz=1024)
+    x = rng.standard_normal((2, 5000)).astype(np.float32)
+    got, rot0 = angle_sharded_sweep_peaks(x, geom, mesh, axis="files")
+    want, want_rot0 = sweep_peaks_aux(x, geom)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(rot0), np.asarray(want_rot0),
+                               atol=2e-6)
+    # mono 1-D input path
+    g1, r1 = angle_sharded_sweep_peaks(x[0], geom, mesh, axis="files")
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(want)[0],
+                               atol=2e-6)
