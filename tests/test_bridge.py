@@ -355,3 +355,21 @@ def test_lv2_reconnects_when_daemon_appears(native_built, tmp_path, rng,
         host.close()
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_native_bridge_pcm24_mono(daemon, native_built, tmp_path, rng):
+    """Exercises the native 24-bit PCM decode path (prt_pcm24_to_f32)."""
+    rate = 48000
+    x = np.clip(0.5 * rng.standard_normal(5000), -0.9, 0.9).astype(
+        np.float32)
+    src = tmp_path / "in24.wav"
+    dst = tmp_path / "out.wav"
+    write_wav(str(src), x, rate, bits=24, float_format=False)
+    res = subprocess.run(
+        [os.path.join(native_built, "prt_bridge"), "-s", daemon,
+         "-a", "0", str(src), str(dst)],
+        capture_output=True, text=True, timeout=120)
+    assert res.returncode == 0, res.stderr
+    y, _, _ = read_wav(str(dst))
+    x24, _, _ = read_wav(str(src))
+    np.testing.assert_allclose(y[0], x24[0], atol=1e-6)
