@@ -66,9 +66,12 @@ def _split(m: int) -> Tuple[int, int]:
 
 
 def supported_parsiz(parsiz: int) -> bool:
-    """Kernel supports power-of-two partition sizes >= 2048 (so both
-    4-step factors are >= 64 and MXU-shaped)."""
-    return parsiz >= 2048 and (parsiz & (parsiz - 1)) == 0
+    """Kernel supports power-of-two partition sizes in [2048, 16384]:
+    below, a 4-step factor drops under 64 (not MXU-shaped); above, the
+    (fftlen/64, 64) DFT matrices alone would eat most of VMEM (65536-pt
+    W1 is 4 MB per real/imag half)."""
+    return (2048 <= parsiz <= 16384
+            and (parsiz & (parsiz - 1)) == 0)
 
 
 def fused_parsiz_for(firlen: int) -> int:

@@ -61,7 +61,9 @@ def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
 
     parsiz = geom.parsiz
     n_blocks = _offline_frames(x, parsiz)
-    if _on_tpu() and parsiz >= 2048:
+    from ..kernels.fused_conv import supported_parsiz
+
+    if _on_tpu() and supported_parsiz(parsiz):
         from ..kernels.fused_conv import fused_hilbert
 
         return fused_hilbert(x, firlen=parsiz, parsiz=parsiz)

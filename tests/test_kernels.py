@@ -170,3 +170,14 @@ class TestFusedConv:
         ))[: 3 * 8192]
         got = np.asarray(fused_hilbert(jnp.asarray(x), firlen))[: 3 * 8192]
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_parsiz_32768_falls_back_to_xla(self, rng):
+        """blksiz 32768 (fftlen 65536) exceeds the kernel's VMEM budget
+        for DFT constants — supported_parsiz rejects it and the sweep
+        pipeline must take the XLA path instead of OOMing VMEM."""
+        from phaserotate_tpu.kernels.fused_conv import supported_parsiz
+
+        assert supported_parsiz(16384)
+        assert not supported_parsiz(32768)
+        # the dispatch point honors it (hilbert_offline on CPU already
+        # takes the XLA path; this guards the TPU branch condition)
