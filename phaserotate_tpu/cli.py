@@ -158,7 +158,7 @@ def _main(argv: Optional[List[str]] = None) -> int:
         n_frames = audio.shape[1]
         dur = n_frames / rate
         print(f"File: {args.file}", file=verbose_fd)
-        print(f"RIFF/WAVE, {n_channels} channels @ {rate} Hz, "
+        print(f"{meta.container}, {n_channels} channels @ {rate} Hz, "
               f"{n_frames} frames ({dur:.3f} s)", file=verbose_fd)
         for cid, text in meta.info.items():
             print(f"  {cid.decode()}: {text}", file=verbose_fd)

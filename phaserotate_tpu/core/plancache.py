@@ -27,17 +27,27 @@ from .sizes import OfflineGeometry, StreamGeometry
 __all__ = ["warmup_stream", "warmup_offline", "enable_persistent_cache"]
 
 
-def warmup_stream(geom: StreamGeometry, channels: int = 1) -> None:
+def warmup_stream(geom: StreamGeometry, channels: int = 1,
+                  bulk_frames: tuple = (2, 4)) -> None:
     """Pre-compile the streaming step (and meter update) for ``geom``.
 
     Call before the first real-time block, like the plugin plans FFTs in
     instantiate (src/phaserotate.c:358-401); afterwards ``stream_step``
     dispatches from cache with no compile stalls.
+
+    ``bulk_frames``: frame counts of the hosts' bulk scan path to warm
+    (the shells bucket large blocks to powers of two; each distinct
+    count is its own XLA program).  Cover the buckets your host block
+    size produces, e.g. ``(2, 4, 8, 16)`` for 16-frame blocks.
     """
     import jax.numpy as jnp
 
     from ..meter import MeterConfig, init_meter_state, meter_block, meter_falloff
-    from ..stream.engine import init_state, stream_step_batched
+    from ..stream.engine import (
+        init_state,
+        stream_process_batched,
+        stream_step_batched,
+    )
 
     # the host shells dispatch the channel-batched step — warm that shape
     state = init_state(geom, (channels,))
@@ -45,6 +55,11 @@ def warmup_stream(geom: StreamGeometry, channels: int = 1) -> None:
     st, out = stream_step_batched(
         state, frames, jnp.zeros(channels, jnp.float32), geom)
     out.block_until_ready()
+    for k in bulk_frames:
+        _, yk = stream_process_batched(
+            state, jnp.zeros((channels, int(k), geom.parsiz), jnp.float32),
+            jnp.zeros(channels, jnp.float32), geom)
+        yk.block_until_ready()
 
     cfg = MeterConfig(rate=geom.rate, latency=geom.latency)
     m = init_meter_state(cfg)

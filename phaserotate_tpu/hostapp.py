@@ -101,8 +101,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         for c in range(channels):
             host.ui.dials[c].set_value(args.angle)
-        ui_outs = run_tui(host, audio, rate, args.block,
-                          loop=args.outfile is None)
+        ui_outs, played = run_tui(host, audio, rate, args.block,
+                                  loop=args.outfile is None)
         if args.outfile:
             lat = int(host.latency[0])
             block = args.block
@@ -110,10 +110,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 ui_outs.append(
                     host.process(np.zeros((channels, block), np.float32)))
             stream = np.concatenate(ui_outs, axis=1)
-            # the user may quit mid-file: write (and report) what was
-            # actually captured, never a silently-truncated "full" file
-            n = min(audio.shape[1], max(0, stream.shape[1] - lat))
-            write_audio(args.outfile, stream[:, lat : lat + n], rate, meta, like=args.infile)
+            # the user may quit mid-file: write (and report) exactly the
+            # frames that were played — neither a silently-truncated
+            # "full" file nor trailing flush silence counted as audio
+            n = min(played, max(0, stream.shape[1] - lat))
+            write_audio(args.outfile, stream[:, lat : lat + n], rate,
+                        meta, like=args.infile)
             suffix = "" if n == audio.shape[1] else \
                 f" — stopped early, {audio.shape[1] - n} frames not played"
             print(f"wrote {args.outfile} ({n} frames, latency {lat} "

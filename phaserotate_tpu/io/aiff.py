@@ -31,14 +31,21 @@ _TEXT_MAP_INV = {v: k for k, v in _TEXT_MAP.items()}
 
 
 def _read_f80(b: bytes) -> float:
-    """80-bit IEEE extended float -> python float (the COMM sample rate)."""
+    """80-bit IEEE extended float -> python float (the COMM sample rate).
+
+    Out-of-range exponents (inf/nan encodings, absurd rates) come back
+    as ``inf`` so the caller's rate validity check raises WavFormatError
+    instead of this helper leaking OverflowError."""
     (se,) = struct.unpack(">H", b[:2])
     sign = -1.0 if se & 0x8000 else 1.0
     exp = se & 0x7FFF
     (mant,) = struct.unpack(">Q", b[2:10])
     if exp == 0 and mant == 0:
         return 0.0
-    return sign * math.ldexp(mant, exp - 16383 - 63)
+    try:
+        return sign * math.ldexp(mant, exp - 16383 - 63)
+    except OverflowError:
+        return math.inf
 
 
 def _write_f80(x: float) -> bytes:
@@ -68,6 +75,7 @@ def read_aiff(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     is_aifc = blob[8:12] == b"AIFC"
 
     meta = WavMetadata()
+    meta.container = "FORM/AIFC" if is_aifc else "FORM/AIFF"
     comm = None
     ssnd = None
     compression = b"NONE"

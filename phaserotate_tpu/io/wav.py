@@ -46,6 +46,7 @@ class WavMetadata:
     cues: Optional[bytes] = None
     bext: Optional[bytes] = None
     other: List[Tuple[bytes, bytes]] = dataclasses.field(default_factory=list)
+    container: str = "RIFF/WAVE"  # set by the reader (AIFF sets FORM/...)
 
 
 def _pcm_to_float(raw: bytes, bits: int, fmt: int) -> np.ndarray:
@@ -158,6 +159,9 @@ def read_wav(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     if fmt is None or data is None:
         raise WavFormatError(f"{path}: missing fmt/data chunk")
     wformat, channels, rate, _, _, bits = fmt
+    if channels < 1 or rate < 1:
+        raise WavFormatError(
+            f"{path}: bad fmt chunk ({channels} channels @ {rate} Hz)")
     flat = _pcm_to_float(data, bits, wformat)
     n = len(flat) // channels
     audio = flat[: n * channels].reshape(n, channels).T.copy()

@@ -399,10 +399,13 @@ def fused_hilbert(
 
 
 def mix_supported(firlen: int, parsiz: int | None = None) -> bool:
-    """True when the rotation mix can fuse into the kernel: the FIR
-    group delay must be a whole number of sublane rows."""
+    """True when the rotation mix can fuse into the kernel: the
+    partition size must be kernel-supported and the FIR group delay a
+    whole number of sublane rows."""
     if parsiz is None:
         parsiz = fused_parsiz_for(firlen)
+    if not supported_parsiz(parsiz) or firlen > parsiz:
+        return False
     n2 = _split(2 * parsiz)[1]
     rows = (firlen // 2) // n2
     return (firlen // 2) % n2 == 0 and rows % 8 == 0 and rows < parsiz // n2

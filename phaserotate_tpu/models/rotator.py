@@ -82,8 +82,17 @@ class PhaseRotator(StreamingRotator):
             self._reset_meters()
 
     def process(self, block: np.ndarray, degrees) -> np.ndarray:
+        from ..core.angles import degrees_to_turns
+
         squeeze = np.ndim(block) == 1
         x = np.atleast_2d(np.asarray(block, np.float32))
+        if self.meters_enabled:
+            # the gain-diff holds reset on an angle change, compared
+            # against the *current* (possibly still ramping) engine
+            # angle like the plugin does (src/phaserotate.c:497-509)
+            target = np.asarray(degrees_to_turns(np.broadcast_to(
+                np.asarray(degrees, np.float32), (self.channels,))))
+            changed = target != np.asarray(self._state.angle)
         out = super().process(x, degrees)
         y = np.atleast_2d(out)
         if self.meters_enabled:
@@ -94,7 +103,7 @@ class PhaseRotator(StreamingRotator):
             for c in range(self.channels):
                 self._mtr[c], self._levels[c] = meter_block(
                     self._mtr[c], x[c], y[c], self._falloff,
-                    self._mtr_cfg.hold_samples, False)
+                    self._mtr_cfg.hold_samples, bool(changed[c]))
         return out[0] if squeeze and out.ndim > 1 else out
 
     def levels(self, channel: int = 0) -> MeterLevels:

@@ -98,10 +98,16 @@ def hilbert_fir(
     x = jnp.asarray(audio, jnp.float32)
     lat = firlen // 2
     if _on_tpu():
-        from ..kernels.fused_conv import fused_hilbert
+        from ..kernels.fused_conv import (
+            fused_hilbert,
+            fused_parsiz_for,
+            supported_parsiz,
+        )
 
-        full = fused_hilbert(x, firlen)
-        return full[..., lat : lat + x.shape[-1]]
+        if supported_parsiz(fused_parsiz_for(firlen)):
+            full = fused_hilbert(x, firlen)
+            return full[..., lat : lat + x.shape[-1]]
+        # exotic FIR lengths (> 16384 taps) take the XLA path below
     # single-partition OLA (partition == FIR support): batched XLA FFTs
     from ..core.fir import partition_fir_spectra
     from .convolve import partitioned_convolve

@@ -30,11 +30,8 @@ from ..meter import (
     meter_falloff,
     reset_peaks,
 )
-from ..stream.engine import (
-    init_state,
-    stream_process_batched,
-    stream_step_batched,
-)
+from ..stream.engine import init_state
+from ..stream.host import advance_stream
 from .protocol import LevelsMsg, Message, ResetPeaks, StateMsg, UiOff, UiOn
 from .uris import (
     MAX_CHANNELS,
@@ -201,43 +198,14 @@ class PhaseRotatePlugin:
         angle_now = np.asarray(self._state.angle)  # one batched readback
         angle_changed = target_turns != angle_now
 
-        # block staging identical to the reference's offset bookkeeping
-        pos = 0
-        offset = self._offset
-        while pos < n:
-            if offset == 0 and n - pos >= 2 * parsiz:
-                # bulk: scan complete frames in one device dispatch;
-                # power-of-two buckets bound the set of compiled shapes
-                k_avail = (n - pos) // parsiz
-                k = 1 << (k_avail.bit_length() - 1)
-                frames = np.stack(
-                    [self._out[c][pos : pos + k * parsiz] for c in
-                     range(n_chn)]).reshape(n_chn, k, parsiz)
-                self._state, ys = stream_process_batched(
-                    self._state, frames, target_deg, geom)
-                ys = np.asarray(ys)
-                emitted = np.concatenate(
-                    [self._cur_out[:, None], ys[:, :-1]], axis=1
-                ).reshape(n_chn, k * parsiz)
-                for c in range(n_chn):
-                    self._out[c][pos : pos + k * parsiz] = emitted[c]
-                self._cur_out = ys[:, -1].copy()
-                pos += k * parsiz
-                continue
-            ns = min(parsiz - offset, n - pos)
-            for c in range(n_chn):
-                self._cur_in[c, offset : offset + ns] = \
-                    self._out[c][pos : pos + ns]
-                self._out[c][pos : pos + ns] = \
-                    self._cur_out[c, offset : offset + ns]
-            offset += ns
-            pos += ns
-            if offset == parsiz:
-                offset = 0
-                self._state, y = stream_step_batched(
-                    self._state, self._cur_in, target_deg, geom)
-                self._cur_out = np.asarray(y)
-        self._offset = offset
+        # block staging identical to the reference's offset bookkeeping,
+        # shared with StreamingRotator (stream/host.advance_stream)
+        x_in = np.stack([self._out[c][:n] for c in range(n_chn)])
+        self._state, self._offset, y_out = advance_stream(
+            self._state, self._cur_in, self._cur_out, self._offset,
+            x_in, target_deg, geom)
+        for c in range(n_chn):
+            self._out[c][:n] = y_out[c]
 
         # metering (src/phaserotate.c:573-611, 728-771)
         for c in range(n_chn):

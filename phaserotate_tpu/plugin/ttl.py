@@ -144,12 +144,8 @@ def write_bundle(directory: str) -> None:
     import shutil
     import subprocess
 
-    os.makedirs(directory, exist_ok=True)
-    with open(os.path.join(directory, "manifest.ttl"), "w") as f:
-        f.write(manifest_ttl())
-    with open(os.path.join(directory, "phaserotate_tpu.ttl"), "w") as f:
-        f.write(plugin_ttl())
-
+    # resolve the binary FIRST: an honest bundle must not reference a
+    # ghost, and a failure must not leave a half-written directory
     native_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), "native")
@@ -160,9 +156,14 @@ def write_bundle(directory: str) -> None:
                            check=True, capture_output=True, timeout=120)
         except Exception:
             pass
-    if os.path.exists(so):
-        shutil.copy2(so, os.path.join(directory, "phaserotate_tpu.so"))
-    else:  # no toolchain: an honest bundle must not reference a ghost
+    if not os.path.exists(so):
         raise RuntimeError(
-            "native/phaserotate_tpu.so missing and could not be built; "
-            "run `make -C native` first")
+            "native/phaserotate_tpu.so missing and could not be built "
+            f"(looked in {native_dir}); run `make -C native` first")
+
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "manifest.ttl"), "w") as f:
+        f.write(manifest_ttl())
+    with open(os.path.join(directory, "phaserotate_tpu.ttl"), "w") as f:
+        f.write(plugin_ttl())
+    shutil.copy2(so, os.path.join(directory, "phaserotate_tpu.so"))

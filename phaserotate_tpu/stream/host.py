@@ -20,7 +20,59 @@ import numpy as np
 from ..core.sizes import StreamGeometry, stream_geometry_for_rate
 from .engine import init_state, stream_process_batched, stream_step_batched
 
-__all__ = ["StreamingRotator"]
+__all__ = ["StreamingRotator", "advance_stream"]
+
+
+def advance_stream(state, cur_in, cur_out, offset, x, degs, geom):
+    """The staging core shared by every host shell (StreamingRotator and
+    the LV2 plugin lifecycle): advance the engine through one host block
+    of ANY size, reproducing the reference's offset bookkeeping
+    (src/phaserotate.c:615-725).
+
+    Complete frames at a frame boundary take the bulk path — one device
+    dispatch scans all of them, with frame counts bucketed to powers of
+    two so arbitrary block sizes compile O(log) XLA programs; the
+    emitted output for frame j is the staged result of frame j-1,
+    bit-identical to per-frame stepping (tested).
+
+    Args:
+      state: batched engine carry (channels leading axis).
+      cur_in/cur_out: (C, parsiz) staging buffers, mutated in place.
+      offset: current intra-frame position.
+      x: (C, n) float32 input block.
+      degs: (C,) float32 target angles for this block.
+
+    Returns ``(state, offset, out)`` with out shaped like ``x``.
+    """
+    parsiz = geom.parsiz
+    channels, n = x.shape
+    out = np.empty_like(x)
+    pos = 0
+    while pos < n:
+        if offset == 0 and n - pos >= 2 * parsiz:
+            k_avail = (n - pos) // parsiz
+            k = 1 << (k_avail.bit_length() - 1)
+            frames = x[:, pos : pos + k * parsiz].reshape(
+                channels, k, parsiz)
+            state, ys = stream_process_batched(state, frames, degs, geom)
+            ys = np.asarray(ys)
+            emitted = np.concatenate(
+                [cur_out[:, None], ys[:, :-1]], axis=1)
+            out[:, pos : pos + k * parsiz] = emitted.reshape(
+                channels, k * parsiz)
+            cur_out[:] = ys[:, -1]
+            pos += k * parsiz
+            continue
+        ns = min(parsiz - offset, n - pos)
+        cur_in[:, offset : offset + ns] = x[:, pos : pos + ns]
+        out[:, pos : pos + ns] = cur_out[:, offset : offset + ns]
+        offset += ns
+        pos += ns
+        if offset == parsiz:
+            offset = 0
+            state, y = stream_step_batched(state, cur_in, degs, geom)
+            cur_out[:] = np.asarray(y)
+    return state, offset, out
 
 
 class StreamingRotator:
@@ -86,44 +138,7 @@ class StreamingRotator:
         else:
             degs = np.asarray(degrees, np.float32).reshape(self.channels)
 
-        parsiz = self.geom.parsiz
-        n = x.shape[1]
-        out = np.empty_like(x)
-        pos = 0
-        offset = self._offset
-        while pos < n:
-            if offset == 0 and n - pos >= 2 * parsiz:
-                # bulk path: scan complete frames in ONE dispatch (large
-                # host blocks cost one round trip, not one per frame);
-                # the emitted output for frame j is the staged result of
-                # frame j-1, exactly like the per-frame path.  Frame
-                # counts are bucketed to powers of two so arbitrary
-                # client block sizes compile O(log) XLA programs, not
-                # one per distinct size.
-                k_avail = (n - pos) // parsiz
-                k = 1 << (k_avail.bit_length() - 1)
-                frames = x[:, pos : pos + k * parsiz].reshape(
-                    self.channels, k, parsiz)
-                self._state, ys = stream_process_batched(
-                    self._state, frames, degs, self.geom)
-                ys = np.asarray(ys)
-                emitted = np.concatenate(
-                    [self._cur_out[:, None], ys[:, :-1]], axis=1)
-                out[:, pos : pos + k * parsiz] = emitted.reshape(
-                    self.channels, k * parsiz)
-                self._cur_out = ys[:, -1].copy()
-                pos += k * parsiz
-                continue
-            ns = min(parsiz - offset, n - pos)
-            self._cur_in[:, offset : offset + ns] = x[:, pos : pos + ns]
-            out[:, pos : pos + ns] = self._cur_out[:, offset : offset + ns]
-            offset += ns
-            pos += ns
-            if offset == parsiz:
-                offset = 0
-                self._state, y = self._step(
-                    self._state, self._cur_in, degs, self.geom
-                )
-                self._cur_out = np.asarray(y)
-        self._offset = offset
+        self._state, self._offset, out = advance_stream(
+            self._state, self._cur_in, self._cur_out, self._offset,
+            x, degs, self.geom)
         return out[0] if squeeze else out

@@ -133,10 +133,16 @@ def run_tui(
     stdin_fd: Optional[int] = None,
     stdout=None,
     max_seconds: Optional[float] = None,
-) -> List[np.ndarray]:
+):
     """Stream ``audio`` (channels, n) through the host at ~1x realtime,
     reading keys and redrawing meters until quit (or the file ends when
-    ``loop`` is False).  Returns the processed blocks."""
+    ``loop`` is False).
+
+    Returns ``(outs, played)``: the processed blocks and the number of
+    input frames actually played.  In ``loop`` mode nothing is retained
+    (``outs`` stays empty — an interactive session must not grow memory
+    per block) and ``played`` is 0.
+    """
     import termios
     import tty
 
@@ -145,7 +151,9 @@ def run_tui(
     session = TuiSession(host)
     n = audio.shape[1]
     channels = audio.shape[0]
+    capture = not loop
     outs: List[np.ndarray] = []
+    played = 0
 
     raw = False
     try:
@@ -164,12 +172,16 @@ def run_tui(
             m = min(block, n - pos)
             chunk[:, :m] = audio[:, pos : pos + m]
             pos += m
+            if capture:
+                played = pos
             if pos >= n:
                 if loop:
                     pos = 0
                 else:
                     session.running = False
-            outs.append(session.host.process(chunk))
+            y = session.host.process(chunk)
+            if capture:
+                outs.append(y)
             session.ui.poll()
 
             r, _, _ = select.select([stdin_fd], [], [], 0)
@@ -192,10 +204,13 @@ def run_tui(
                 time.sleep(min(due - elapsed, 0.05))
     finally:
         session.ui.close()
-        # captured: the stream must stay contiguous for a recording
-        outs.append(host.process(np.zeros((channels, block), np.float32)))
+        # drain the ui_off handshake; captured so a recording's stream
+        # stays contiguous
+        y = host.process(np.zeros((channels, block), np.float32))
+        if capture:
+            outs.append(y)
         if raw and old is not None:
             termios.tcsetattr(stdin_fd, termios.TCSADRAIN, old)
         stdout.write("\n")
         stdout.flush()
-    return outs
+    return outs, played

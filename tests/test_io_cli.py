@@ -354,3 +354,43 @@ class TestAiff:
         assert out.read_bytes()[:4] == b"FORM"
         y, _, _ = read_audio(str(out))
         np.testing.assert_array_equal(y[0], x)
+
+    def test_f80_overflow_raises_wavformaterror(self, tmp_path):
+        """An inf/huge COMM rate encoding must not leak OverflowError."""
+        from phaserotate_tpu.io import read_aiff
+        from phaserotate_tpu.io.wav import WavFormatError
+        import struct
+
+        comm = (struct.pack(">hIh", 1, 0, 16)
+                + struct.pack(">HQ", 0x7FFF, 1 << 63))  # inf encoding
+        body = (b"AIFF" + b"COMM" + struct.pack(">I", 18) + comm
+                + b"SSND" + struct.pack(">I", 8) + b"\x00" * 8)
+        p = tmp_path / "inf.aiff"
+        p.write_bytes(b"FORM" + struct.pack(">I", len(body)) + body)
+        with pytest.raises(WavFormatError, match="bad COMM"):
+            read_aiff(str(p))
+
+    def test_cli_vvv_names_the_container(self, tmp_path, capsys, rng):
+        from phaserotate_tpu import cli
+        from phaserotate_tpu.io import write_aiff
+
+        x = (0.3 * rng.standard_normal(30000)).astype(np.float32)
+        p = tmp_path / "in.aiff"
+        write_aiff(str(p), x, 48000)
+        assert cli.main(["-vvv", str(p)]) == 0
+        err = capsys.readouterr().err
+        assert "FORM/AIFC" in err and "RIFF/WAVE" not in err
+
+
+def test_wav_zero_channels_rejected(tmp_path):
+    """fmt.channels == 0 must raise WavFormatError, not ZeroDivision."""
+    from phaserotate_tpu.io.wav import WavFormatError
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 48000, 0, 0, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    p = tmp_path / "z.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(WavFormatError, match="bad fmt"):
+        read_wav(str(p))

@@ -140,3 +140,20 @@ def test_phase_rotator_checkpoint_validation(tmp_path):
     r3 = PhaseRotator(rate=96000, channels=1)
     with pytest.raises(ValueError, match="geometry"):
         r3.load(path)
+
+
+def test_phase_rotator_diff_hold_resets_on_angle_change(rng):
+    """Gain-diff holds reset when the target angle changes, like the
+    plugin lifecycle (round-2 self-review: was hardcoded False)."""
+    rot = PhaseRotator(rate=48000, channels=1)
+    x = (0.5 * rng.standard_normal(8192)).astype(np.float32)
+    rot.process(x, 0.0)
+    rot.process(x, 0.0)
+    base_min = float(rot.levels(0).diff_min)
+    rot.process(x, 90.0)  # angle change -> delayed reset armed
+    for _ in range(6):
+        rot.process(x, 90.0)
+    lv = rot.levels(0)
+    # holds re-accumulated from the new steady state, not stuck at the
+    # old extremes: diff_cur participates in fresh min/max
+    assert float(lv.diff_min) <= float(lv.diff_cur) <= float(lv.diff_max)

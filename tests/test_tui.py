@@ -181,3 +181,44 @@ def test_ui_with_outfile_noninteractive(tmp_path):
     assert proc.wait(timeout=120) == 0
     y, _, _ = read_wav(str(dst))
     np.testing.assert_allclose(y[0], x, atol=1e-6)
+
+
+def test_run_tui_loop_mode_does_not_retain_blocks(tmp_path):
+    """Interactive loop mode must not grow memory per block (round-2
+    self-review): run_tui returns no captured output in loop mode."""
+    import io
+
+    from phaserotate_tpu.tui import run_tui
+
+    rate = 48000
+    x = np.zeros((1, 2000), np.float32)
+    host = StandaloneHost(rate, 1, block=256)
+    r, w = os.pipe()
+    try:
+        outs, played = run_tui(host, x, rate, 256, loop=True,
+                               stdin_fd=r, stdout=io.StringIO(),
+                               max_seconds=0.15)
+        assert outs == [] and played == 0
+    finally:
+        os.close(r)
+        os.close(w)
+
+
+def test_run_tui_capture_counts_played_frames(tmp_path):
+    import io
+
+    from phaserotate_tpu.tui import run_tui
+
+    rate = 48000
+    n = 1000
+    x = (0.1 * np.ones((1, n))).astype(np.float32)
+    host = StandaloneHost(rate, 1, block=256)
+    r, w = os.pipe()
+    try:
+        outs, played = run_tui(host, x, rate, 256, loop=False,
+                               stdin_fd=r, stdout=io.StringIO())
+        assert played == n
+        assert len(outs) >= -(-n // 256) + 1  # blocks + drain
+    finally:
+        os.close(r)
+        os.close(w)
