@@ -22,6 +22,8 @@ __all__ = [
     "interleave",
     "pcm16_to_f32",
     "f32_to_pcm16",
+    "pcm24_to_f32",
+    "f32_to_pcm24",
     "Ring",
 ]
 
@@ -158,6 +160,43 @@ def f32_to_pcm16(x: np.ndarray) -> np.ndarray:
     out = np.empty(x.size, np.int16)
     lib.prt_f32_to_pcm16(
         _fptr(x), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), x.size)
+    return out
+
+
+def pcm24_to_f32(raw: np.ndarray) -> np.ndarray:
+    """(3*n,) uint8 packed little-endian 24-bit PCM -> (n,) float32."""
+    raw = np.ascontiguousarray(raw, np.uint8)
+    n = raw.size // 3
+    lib = _load()
+    if lib is None:
+        b = raw[: 3 * n].reshape(-1, 3)
+        v = (b[:, 0].astype(np.int32)
+             | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        v = np.where(v & 0x800000, v - 0x1000000, v)
+        return v.astype(np.float32) / 8388608.0
+    out = np.empty(n, np.float32)
+    lib.prt_pcm24_to_f32(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _fptr(out), n)
+    return out
+
+
+def f32_to_pcm24(x: np.ndarray) -> np.ndarray:
+    """(n,) float32 -> (3*n,) uint8 packed little-endian 24-bit PCM."""
+    x = np.ascontiguousarray(x, np.float32)
+    lib = _load()
+    if lib is None:
+        v = np.clip(np.round(x * 8388608.0), -8388608,
+                    8388607).astype(np.int32)
+        out = np.empty((x.size, 3), np.uint8)
+        out[:, 0] = v & 0xFF
+        out[:, 1] = (v >> 8) & 0xFF
+        out[:, 2] = (v >> 16) & 0xFF
+        return out.reshape(-1)
+    out = np.empty(3 * x.size, np.uint8)
+    lib.prt_f32_to_pcm24(
+        _fptr(x), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        x.size)
     return out
 
 

@@ -65,14 +65,9 @@ def _pcm_to_float(raw: bytes, bits: int, fmt: int) -> np.ndarray:
             return native.pcm16_to_f32(np.frombuffer(raw, "<i2"))
         return (np.frombuffer(raw, "<i2").astype(np.float32)) / 32768.0
     if bits == 24:
-        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
-        v = (
-            b[:, 0].astype(np.int32)
-            | (b[:, 1].astype(np.int32) << 8)
-            | (b[:, 2].astype(np.int32) << 16)
-        )
-        v = np.where(v & 0x800000, v - 0x1000000, v)
-        return v.astype(np.float32) / 8388608.0
+        from . import native
+
+        return native.pcm24_to_f32(np.frombuffer(raw, np.uint8))
     if bits == 32:
         return np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
     if bits == 8:

@@ -394,3 +394,11 @@ def test_wav_zero_channels_rejected(tmp_path):
     p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
     with pytest.raises(WavFormatError, match="bad fmt"):
         read_wav(str(p))
+
+
+def test_cli_version_flag(capsys):
+    from phaserotate_tpu import cli
+
+    assert cli.main(["-V"]) == 0
+    out = capsys.readouterr().out
+    assert "phase-rotate version" in out and "phaserotate-tpu" in out

@@ -90,3 +90,12 @@ def test_ring_spsc_threads(rng):
     t1.start(); t2.start()
     t1.join(timeout=30); t2.join(timeout=30)
     assert np.array_equal(np.concatenate(out), data)
+
+
+def test_pcm24_roundtrip(rng):
+    x = np.clip(rng.standard_normal(4000) * 0.4, -0.99, 0.99).astype(
+        np.float32)
+    raw = native.f32_to_pcm24(x)
+    assert raw.dtype == np.uint8 and raw.size == 3 * x.size
+    y = native.pcm24_to_f32(raw)
+    assert np.abs(y - x).max() <= 1.0 / 8388608.0
