@@ -27,7 +27,6 @@ from ..core.angles import MAXSAMPLE
 __all__ = ["peak_kernel", "rotate_peak_sweep_kernel", "use_interpret"]
 
 _LANES = 128
-_SWEEP_A = 384  # MAXSAMPLE=360 padded up to a lane multiple
 
 
 def use_interpret() -> bool:
