@@ -56,6 +56,24 @@ class UIClient:
         ]
         self.link = LinkGroup(self.dials)
         self._open = False
+        self.sync_dials()
+
+    def sync_dials(self) -> None:
+        """Pull the current angle control-port values into the dials
+        (the control-port half of the reference's port_event dispatch,
+        gui/phaserotate.c:1236-1248) without echoing them back."""
+        for c in range(self.n_chn):
+            port = self.plugin._angle[c]
+            if port is not None:
+                self.dials[c].set_value(float(port[0]), notify=False)
+
+    def _control_queue(self):
+        q = self.plugin._control
+        if q is None:
+            raise RuntimeError(
+                "plugin control port not connected (connect_port the "
+                "ATOM_CONTROL port before driving the UI)")
+        return q
 
     # -- writes to the plugin ---------------------------------------------
 
@@ -68,33 +86,35 @@ class UIClient:
         return write
 
     def open(self) -> None:
-        """ui_on handshake (gui/phaserotate.c:1099-1111)."""
-        assert self.plugin._control is not None
-        self.plugin._control.append(UiOn())
+        """ui_on handshake (gui/phaserotate.c:1099-1111); also pulls the
+        current port angles into the dials (a reopened UI must show the
+        host-persisted angle, not zero)."""
+        self._control_queue().append(UiOn())
+        self.sync_dials()
         self._open = True
 
     def close(self) -> None:
         """ui_off + persist state (gui/phaserotate.c:1113-1127)."""
-        self.plugin._control.append(
-            StateMsg(uiscale=self.ui_scale, link=self.link.active))
-        self.plugin._control.append(UiOff())
+        q = self._control_queue()
+        q.append(StateMsg(uiscale=self.ui_scale, link=self.link.active))
+        q.append(UiOff())
         self._open = False
 
     def set_link(self, active: bool) -> None:
         self.link.set_active(active)
-        self.plugin._control.append(
+        self._control_queue().append(
             StateMsg(uiscale=self.ui_scale, link=active))
 
     def set_scale(self, scale: float) -> None:
         """Scale change persistence (gui/phaserotate.c:1080-1097)."""
         self.ui_scale = float(np.clip(scale, 1.0, 2.0))
-        self.plugin._control.append(
+        self._control_queue().append(
             StateMsg(uiscale=self.ui_scale, link=self.link.active))
 
     def click_meter(self) -> None:
         """Click on a meter resets peak holds
         (gui/phaserotate.c:876-890)."""
-        self.plugin._control.append(ResetPeaks())
+        self._control_queue().append(ResetPeaks())
 
     # -- reads from the plugin --------------------------------------------
 

@@ -25,7 +25,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.sizes import StreamGeometry
 
 __all__ = [
     "MeterConfig",
@@ -34,6 +33,7 @@ __all__ = [
     "init_meter_state",
     "meter_falloff",
     "meter_block",
+    "reset_peaks",
     "delay_line_update",
 ]
 

@@ -68,7 +68,8 @@ class AngleAnalyzer:
         and are skipped on re-runs — selection is recomputed from stored
         tables (so changing stride/link does not invalidate sweeps).
         """
-        ckpt = SweepCheckpoint(checkpoint) if checkpoint else None
+        ckpt = SweepCheckpoint(checkpoint, blksiz=self.geom.blksiz) \
+            if checkpoint else None
         out: Dict[str, SearchResult] = {}
         for fid, audio in files.items():
             if ckpt is not None and fid in ckpt:

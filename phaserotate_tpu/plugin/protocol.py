@@ -13,7 +13,7 @@ import dataclasses
 import json
 from typing import Union
 
-from .uris import LEVEL_FIELDS, Prot
+from .uris import Prot
 
 __all__ = [
     "UiOn", "UiOff", "ResetPeaks", "StateMsg", "LevelsMsg",

@@ -134,8 +134,8 @@ def select_min_peak_angles(
             # (cli/phase-rotate.cc:836-839 — undefined behavior in C) but
             # its output path prints "cannot find min" for p_min == inf;
             # we implement that stated intent: the channel stays
-            # not-found and its angle is 0.
-            mins.setdefault(0, []).append(c)
+            # not-found and its angle is 0.  It enters no candidate list
+            # (it would pollute peak_min and the coarse diagnostics).
             degenerate.add(c)
             continue
         if stride > 1:
@@ -152,6 +152,8 @@ def select_min_peak_angles(
     if stride == 1:
         for ma in sorted(mins):
             for cn in mins[ma]:
+                if cn in degenerate:
+                    continue  # stays not-found, like the stride>1 pass
                 min_angle[cn] = ma
                 r_min[cn] = _peak(table, False, cn, ma)
     else:

@@ -29,7 +29,6 @@ Alignment map (derived from cli/phase-rotate.cc:181-232, 389-428):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -103,7 +102,7 @@ def _sweep_impl(
     x: jnp.ndarray,
     geom: OfflineGeometry,
     chunk: int,
-) -> jnp.ndarray:
+) -> tuple:
     from ..kernels.rotate_peak import rotate_peak_sweep_kernel
 
     b0, b1, h_start, x_peak = aligned_pair(x, geom)

@@ -27,14 +27,28 @@ class SweepCheckpoint:
     ``<id>//rot0`` entry.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, blksiz: Optional[int] = None):
+        """``blksiz`` fingerprints the sweep geometry: tables computed
+        under a different block size are NOT interchangeable (different
+        Hilbert FIR), so a mismatch against a stored fingerprint raises
+        instead of silently reusing wrong tables."""
         self.path = path
+        self.blksiz = blksiz
         self._tables: Dict[str, np.ndarray] = {}
         self._rot0: Dict[str, np.ndarray] = {}
         if os.path.exists(path):
             with np.load(path, allow_pickle=False) as z:
                 for k in z.files:
-                    if k.endswith("//rot0"):
+                    if k == "//blksiz":
+                        stored = int(z[k])
+                        if blksiz is not None and stored != blksiz:
+                            raise ValueError(
+                                f"checkpoint {path} holds sweeps for "
+                                f"blksiz {stored}, analyzer uses "
+                                f"{blksiz} — use a separate checkpoint "
+                                "per geometry")
+                        self.blksiz = stored
+                    elif k.endswith("//rot0"):
                         self._rot0[k[: -len("//rot0")]] = z[k]
                     else:
                         self._tables[k] = z[k]
@@ -61,6 +75,8 @@ class SweepCheckpoint:
         """Atomic write: temp file + rename."""
         payload = dict(self._tables)
         payload.update({k + "//rot0": v for k, v in self._rot0.items()})
+        if self.blksiz is not None:
+            payload["//blksiz"] = np.int64(self.blksiz)
         d = os.path.dirname(os.path.abspath(self.path)) or "."
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
         try:

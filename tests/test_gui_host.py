@@ -206,3 +206,36 @@ def test_faceplate_with_pointer():
     assert "-90.0" in neg and "<path" in neg  # value arc drawn
     zero = faceplate_svg(angle=0.0)
     assert "<path" not in zero  # detent: no arc
+
+
+def test_ui_dials_sync_from_angle_ports(rng):
+    """Dials reflect the host-set control-port angle instead of starting
+    at 0 (round-2 self-review: the first keypress used to jump the live
+    angle from the port value to ~0)."""
+    host = StandaloneHost(48000, 2, block=256)
+    host.set_angles([35.0, -60.0])
+    host.ui.sync_dials()
+    assert host.ui.dials[0].value == 35.0
+    assert host.ui.dials[1].value == -60.0
+    # a nudge moves relative to the synced value, not from zero
+    host.ui.dials[0].set_value(host.ui.dials[0].value + 0.5)
+    assert host.angles[0][0] == 35.5
+    # reopening the UI re-syncs (host-persisted angle survives close)
+    host.ui.open()
+    host.set_angles(10.0)
+    host.ui.close()
+    host.ui.open()
+    assert host.ui.dials[0].value == 10.0
+
+
+def test_ui_client_requires_control_port():
+    from phaserotate_tpu.gui import UIClient
+    from phaserotate_tpu.plugin.lifecycle import PhaseRotatePlugin
+    from phaserotate_tpu.plugin.uris import PLUGIN_URI
+
+    p = PhaseRotatePlugin(PLUGIN_URI, 48000)  # no ports connected
+    ui = UIClient(p)
+    with pytest.raises(RuntimeError, match="control port"):
+        ui.click_meter()
+    with pytest.raises(RuntimeError, match="control port"):
+        ui.close()

@@ -157,3 +157,14 @@ def test_phase_rotator_diff_hold_resets_on_angle_change(rng):
     # holds re-accumulated from the new steady state, not stuck at the
     # old extremes: diff_cur participates in fresh min/max
     assert float(lv.diff_min) <= float(lv.diff_cur) <= float(lv.diff_max)
+
+
+def test_checkpoint_rejects_geometry_mismatch(tmp_path, rng):
+    """Sweep tables are geometry-specific: reusing a checkpoint with a
+    different blksiz must raise, not silently return wrong angles."""
+    files = {"f0": _sig(rng, n=3000)}
+    ck = str(tmp_path / "sweeps.npz")
+    AngleAnalyzer(rate=48000, blksiz=1024).analyze_many(files, checkpoint=ck)
+    with pytest.raises(ValueError, match="blksiz"):
+        AngleAnalyzer(rate=48000, blksiz=2048).analyze_many(
+            files, checkpoint=ck)
