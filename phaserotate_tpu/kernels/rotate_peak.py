@@ -159,6 +159,8 @@ def rotate_peak_sweep_kernel(
             bytes_accessed=bsz * n_tiles * tile_len * 2 * 4 + a_pad * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=use_interpret(),
     )(cs_t, s)
     return out[:, :a, 0].reshape(*batch_shape, a)
