@@ -28,7 +28,7 @@ __all__ = ["warmup_stream", "warmup_offline", "enable_persistent_cache"]
 
 
 def warmup_stream(geom: StreamGeometry, channels: int = 1,
-                  bulk_frames: tuple = (2, 4)) -> None:
+                  bulk_frames: tuple = (2, 4, 8, 16, 32)) -> None:
     """Pre-compile the streaming step (and meter update) for ``geom``.
 
     Call before the first real-time block, like the plugin plans FFTs in
@@ -37,8 +37,9 @@ def warmup_stream(geom: StreamGeometry, channels: int = 1,
 
     ``bulk_frames``: frame counts of the hosts' bulk scan path to warm
     (the shells bucket large blocks to powers of two; each distinct
-    count is its own XLA program).  Cover the buckets your host block
-    size produces, e.g. ``(2, 4, 8, 16)`` for 16-frame blocks.
+    count is its own XLA program).  The default covers host blocks up
+    to 32 frames (8192 samples @48k); trim it for faster warmup or
+    extend for larger blocks.
     """
     import jax.numpy as jnp
 

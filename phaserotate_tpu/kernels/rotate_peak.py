@@ -24,14 +24,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.angles import MAXSAMPLE
 
-__all__ = ["peak_kernel", "rotate_peak_sweep_kernel", "use_interpret"]
+__all__ = ["peak_kernel", "rotate_peak_sweep_kernel", "on_tpu",
+           "use_interpret"]
 
 _LANES = 128
 
 
+def on_tpu() -> bool:
+    """True on a real TPU backend (incl. the tunneled 'axon' platform) —
+    the single platform predicate for every kernel/dispatch decision."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def use_interpret() -> bool:
     """Pallas interpret mode off-TPU (CPU test mesh)."""
-    return jax.default_backend() not in ("tpu", "axon")
+    return not on_tpu()
 
 
 def _peak_body(x_ref, out_ref):

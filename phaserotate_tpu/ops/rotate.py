@@ -71,11 +71,12 @@ def rotate_spectral(audio, degrees) -> jnp.ndarray:
 
 
 def _on_tpu() -> bool:
-    """True when the default backend is a real TPU (incl. the tunneled
-    'axon' platform).  Decides the convolution engine at trace time: the
-    fused MXU kernel on TPU, the XLA-FFT path elsewhere (where the Pallas
-    kernel would fall back to the slow interpreter)."""
-    return jax.default_backend() in ("tpu", "axon")
+    """Dispatch predicate: the fused MXU kernel on TPU, the XLA-FFT path
+    elsewhere (where the Pallas kernel would fall back to the slow
+    interpreter).  Single source of truth: kernels/rotate_peak.on_tpu."""
+    from ..kernels.rotate_peak import on_tpu
+
+    return on_tpu()
 
 
 def hilbert_fir(

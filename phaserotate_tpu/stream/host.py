@@ -56,10 +56,11 @@ def advance_stream(state, cur_in, cur_out, offset, x, degs, geom):
                 channels, k, parsiz)
             state, ys = stream_process_batched(state, frames, degs, geom)
             ys = np.asarray(ys)
-            emitted = np.concatenate(
-                [cur_out[:, None], ys[:, :-1]], axis=1)
-            out[:, pos : pos + k * parsiz] = emitted.reshape(
-                channels, k * parsiz)
+            # direct slice writes: no intermediate block-sized buffer in
+            # the latency-sensitive loop
+            out[:, pos : pos + parsiz] = cur_out
+            out[:, pos + parsiz : pos + k * parsiz] = ys[:, :-1].reshape(
+                channels, (k - 1) * parsiz)
             cur_out[:] = ys[:, -1]
             pos += k * parsiz
             continue
@@ -95,7 +96,6 @@ class StreamingRotator:
     ):
         self.geom = geom or stream_geometry_for_rate(rate)
         self.channels = channels
-        self._step = stream_step_batched  # jitted, static geom
         self.reset()
 
     @property
@@ -106,8 +106,6 @@ class StreamingRotator:
     def reset(self) -> None:
         """activate() semantics: clear all streaming state
         (src/phaserotate.c:511-520)."""
-        import jax
-
         parsiz = self.geom.parsiz
         # one *batched* state: channels ride a vmapped leading axis so a
         # completed frame costs a single device dispatch regardless of
@@ -116,7 +114,6 @@ class StreamingRotator:
         self._offset = 0
         self._cur_in = np.zeros((self.channels, parsiz), np.float32)
         self._cur_out = np.zeros((self.channels, parsiz), np.float32)
-        self._jax = jax
 
     def process(self, block: np.ndarray, degrees) -> np.ndarray:
         """Process one host block.
