@@ -252,6 +252,11 @@ int main(int argc, char** argv) {
               reinterpret_cast<char*>(reply.data()));
       return 1;
     }
+    if (reply.size() < 4 + 4ull * m * ch) {  // truncated/buggy daemon
+      fprintf(stderr, "PROC reply too short (%zu bytes for %zu frames)\n",
+              reply.size(), m);
+      return 1;
+    }
     const float* got = reinterpret_cast<float*>(reply.data() + 4);
     peak_out = prt_peak(got, m * ch, peak_out);
     if (out_path)

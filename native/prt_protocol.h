@@ -8,14 +8,40 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
 #include <sys/socket.h>
+#include <sys/time.h>
 #include <sys/un.h>
 #include <unistd.h>
 
 namespace prt {
+
+// Socket deadline for connect/handshake/replies.  Without it a stalled
+// daemon (or a full accept backlog) blocks the calling host forever —
+// for the LV2 shim that means a frozen audio host instead of the
+// documented bypass.  The default is generous because the daemon's
+// first block on a cold TPU can take tens of seconds to compile; tune
+// with PHASEROTATE_TPU_TIMEOUT_MS (0 disables).
+inline long timeout_ms() {
+  const char* e = getenv("PHASEROTATE_TPU_TIMEOUT_MS");
+  if (!e || !*e) return 60000;
+  long v = atol(e);
+  return v < 0 ? 0 : v;
+}
+
+inline void set_socket_deadline(int fd) {
+  long ms = timeout_ms();
+  if (ms <= 0) return;
+  timeval tv;
+  tv.tv_sec = ms / 1000;
+  tv.tv_usec = (ms % 1000) * 1000;
+  // SO_SNDTIMEO also bounds connect() on Linux.
+  setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof tv);
+  setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tv, sizeof tv);
+}
 
 constexpr uint32_t kMagic = 0x50525431;  // "PRT1"
 constexpr uint32_t kInit = 1, kProc = 2, kBye = 3;
@@ -88,6 +114,7 @@ struct Conn {
             uint32_t* latency_out) {
     fd = socket(AF_UNIX, SOCK_STREAM, 0);
     if (fd < 0) return false;
+    set_socket_deadline(fd);
     sockaddr_un addr{};
     addr.sun_family = AF_UNIX;
     snprintf(addr.sun_path, sizeof addr.sun_path, "%s", path);

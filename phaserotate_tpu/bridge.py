@@ -41,6 +41,7 @@ import os
 import socket
 import struct
 import sys
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -79,9 +80,16 @@ def _send_msg(conn: socket.socket, mtype: int, payload: bytes = b"") -> None:
 class _Session:
     """One connection = one fully-wired plugin host (reuses
     hostapp.StandaloneHost for the port wiring and run staging; this
-    layer only adds validation, interleaving, and meter extraction)."""
+    layer only adds validation, interleaving, and meter extraction).
 
-    def __init__(self, rate: int, channels: int, meters: bool):
+    Like an LV2 host instantiating the reference plugin freely
+    (src/phaserotate.c:860-893), the daemon hosts one independent
+    plugin instance per connection; ``engine_lock`` serializes the
+    actual device dispatch (the TPU is single-owner) while the socket
+    layer itself accepts any number of clients concurrently."""
+
+    def __init__(self, rate: int, channels: int, meters: bool,
+                 engine_lock: threading.Lock):
         from .hostapp import StandaloneHost
 
         if channels not in (1, 2):
@@ -89,7 +97,9 @@ class _Session:
         if not (8000 <= rate <= 768000):
             raise ValueError(f"implausible sample rate {rate}")
         self.channels = channels
-        self.host = StandaloneHost(rate, channels, block=MAX_FRAMES)
+        self.lock = engine_lock
+        with engine_lock:  # plugin instantiate compiles on-device code
+            self.host = StandaloneHost(rate, channels, block=MAX_FRAMES)
         self.plugin = self.host.plugin
         self.meters = meters
         if meters:
@@ -102,7 +112,8 @@ class _Session:
         x = samples.reshape(n, self.channels).T
         for c in range(self.channels):
             self.host.angles[c][0] = angles[c]
-        out = self.host.process(x)
+        with self.lock:  # serialize device dispatch across clients
+            out = self.host.process(x)
         levels = None
         if self.meters:
             from .plugin.protocol import LevelsMsg
@@ -113,7 +124,8 @@ class _Session:
         return out.T.reshape(-1).astype(np.float32), levels
 
 
-def _handle(conn: socket.socket, meters: bool) -> None:
+def _handle(conn: socket.socket, meters: bool,
+            engine_lock: threading.Lock) -> None:
     if struct.unpack("<I", _recv_exact(conn, 4))[0] != MAGIC:
         _send_msg(conn, T_ERR, b"bad magic")
         return
@@ -125,7 +137,7 @@ def _handle(conn: socket.socket, meters: bool) -> None:
         if mtype == T_INIT:
             try:
                 rate, channels = struct.unpack("<II", payload)
-                session = _Session(rate, channels, meters)
+                session = _Session(rate, channels, meters, engine_lock)
             except Exception as e:  # validation error -> report, drop
                 _send_msg(conn, T_ERR, str(e).encode())
                 return
@@ -165,42 +177,61 @@ def _handle(conn: socket.socket, meters: bool) -> None:
             return
 
 
+def _client_loop(conn: socket.socket, meters: bool,
+                 engine_lock: threading.Lock) -> None:
+    """Run one connection to completion with the per-client error
+    containment the daemon guarantees: a bad or dead client is reported
+    (when possible), dropped, and never takes the daemon down."""
+    try:
+        _handle(conn, meters, engine_lock)
+    except (ConnectionError, socket.timeout):
+        pass  # dead/silent client: drop quietly, keep serving others
+    except Exception as e:  # a bad client must never kill the daemon
+        try:
+            _send_msg(conn, T_ERR, str(e).encode()[:512])
+        except OSError:
+            pass
+        print(f"bridge: dropped client: {e!r}", file=sys.stderr)
+    finally:
+        conn.close()
+
+
 def serve(path: str, once: bool = False, meters: bool = False,
-          ready_fd: Optional[int] = None) -> None:
+          ready_fd: Optional[int] = None,
+          timeout: Optional[float] = 600.0) -> None:
     """Serve plugin sessions on a Unix socket at ``path``.
 
-    One client at a time (the TPU is single-owner); ``once`` exits after
-    the first connection closes (test harness); ``ready_fd`` gets a byte
-    written once listening (race-free subprocess startup).
+    Accepts any number of concurrent clients — one plugin instance per
+    connection, mirroring an LV2 host instantiating the reference plugin
+    freely (src/phaserotate.c:860-893) — with device dispatch serialized
+    behind one engine lock (the TPU is single-owner; the socket needn't
+    be).  ``once`` exits after the first connection closes (test
+    harness); ``ready_fd`` gets a byte written once listening (race-free
+    subprocess startup); ``timeout`` (seconds) drops a connected client
+    that goes silent so its thread doesn't linger forever.
     """
     try:
         os.unlink(path)
     except FileNotFoundError:
         pass
+    engine_lock = threading.Lock()
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     try:
         srv.bind(path)
-        srv.listen(1)
+        srv.listen(16)
         if ready_fd is not None:
             os.write(ready_fd, b"R")
             os.close(ready_fd)
         while True:
             conn, _ = srv.accept()
-            try:
-                _handle(conn, meters)
-            except ConnectionError:
-                pass
-            except Exception as e:  # a bad client must never kill the
-                # daemon for everyone else — report, drop, keep serving
-                try:
-                    _send_msg(conn, T_ERR, str(e).encode()[:512])
-                except OSError:
-                    pass
-                print(f"bridge: dropped client: {e!r}", file=sys.stderr)
-            finally:
-                conn.close()
+            if timeout is not None:
+                conn.settimeout(timeout)
             if once:
+                _client_loop(conn, meters, engine_lock)
                 return
+            threading.Thread(
+                target=_client_loop, args=(conn, meters, engine_lock),
+                daemon=True).start()
     finally:
         srv.close()
         try:
@@ -274,13 +305,17 @@ def main(argv=None) -> int:
                     help="exit after the first connection closes")
     ap.add_argument("--meters", action="store_true",
                     help="stream meter levels after every block")
+    ap.add_argument("--timeout", type=float, default=600.0,
+                    help="drop a client silent for this many seconds "
+                         "(0 = never)")
     ap.add_argument("--ready-fd", type=int, default=None,
                     help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
     print(f"phaserotate_tpu bridge: listening on {args.socket}",
           file=sys.stderr)
     serve(args.socket, once=args.once, meters=args.meters,
-          ready_fd=args.ready_fd)
+          ready_fd=args.ready_fd,
+          timeout=args.timeout if args.timeout > 0 else None)
     return 0
 
 

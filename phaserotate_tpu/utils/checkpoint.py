@@ -37,9 +37,11 @@ class SweepCheckpoint:
         self._tables: Dict[str, np.ndarray] = {}
         self._rot0: Dict[str, np.ndarray] = {}
         if os.path.exists(path):
+            has_fingerprint = False
             with np.load(path, allow_pickle=False) as z:
                 for k in z.files:
                     if k == "//blksiz":
+                        has_fingerprint = True
                         stored = int(z[k])
                         if blksiz is not None and stored != blksiz:
                             raise ValueError(
@@ -52,6 +54,16 @@ class SweepCheckpoint:
                         self._rot0[k[: -len("//rot0")]] = z[k]
                     else:
                         self._tables[k] = z[k]
+            if blksiz is not None and self._tables and not has_fingerprint:
+                # a pre-fingerprint checkpoint can't prove its geometry;
+                # surface that instead of silently trusting it
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint {path} predates geometry fingerprints; "
+                    f"its tables cannot be verified against blksiz "
+                    f"{blksiz} — delete it if the block size may have "
+                    "changed", stacklevel=2)
 
     def __contains__(self, file_id: str) -> bool:
         return file_id in self._tables

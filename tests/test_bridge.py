@@ -278,6 +278,52 @@ def test_daemon_survives_malformed_proc(daemon, rng):
     cl.close()
 
 
+def test_concurrent_clients_interleaved(daemon, rng):
+    """Two sessions at once — like two DAW tracks loading the plugin
+    (src/phaserotate.c:860-893 instantiates freely).  Blocks are
+    interleaved across the connections; each stream must come out as if
+    it were alone (VERDICT r2 missing #4)."""
+    rate, n, blk = 48000, 6000, 500
+    xs = [(0.5 * rng.standard_normal(n)).astype(np.float32)
+          for _ in range(2)]
+    cls = [BridgeClient(daemon, rate, 1) for _ in range(2)]
+    lat = cls[0].latency
+    totals = [np.concatenate([x, np.zeros(lat, np.float32)]) for x in xs]
+    outs = [[], []]
+    for i in range(0, n + lat, blk):
+        for k in (0, 1):  # interleave: client 0, client 1, client 0, ...
+            outs[k].append(cls[k].process(totals[k][None, i:i + blk], 0.0))
+    for cl in cls:
+        cl.close()
+    for k in (0, 1):
+        y = np.concatenate(outs[k], axis=1)[0]
+        np.testing.assert_allclose(y[lat:lat + n], xs[k], atol=1e-6)
+
+
+def test_concurrent_native_bridges(daemon, native_built, tmp_path, rng):
+    """Two prt_bridge processes stream simultaneously; both outputs are
+    correct (the daemon serves them concurrently, engine serialized)."""
+    rate, n = 48000, 48000
+    srcs, dsts, procs, xs = [], [], [], []
+    for k in range(2):
+        x = (0.5 * rng.standard_normal(n)).astype(np.float32)
+        src, dst = tmp_path / f"in{k}.wav", tmp_path / f"out{k}.wav"
+        write_wav(str(src), x, rate)
+        xs.append(x)
+        srcs.append(src)
+        dsts.append(dst)
+        procs.append(subprocess.Popen(
+            [os.path.join(native_built, "prt_bridge"), "-s", daemon,
+             "-a", "0", "-b", "256", str(src), str(dst)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    for k, p in enumerate(procs):
+        _, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err
+    for k in range(2):
+        y, _, _ = read_wav(str(dsts[k]))
+        np.testing.assert_allclose(y[0], xs[k], atol=1e-6)
+
+
 @pytest.fixture()
 def daemon_meters(tmp_path):
     sock = str(tmp_path / "meters.sock")

@@ -168,3 +168,21 @@ def test_checkpoint_rejects_geometry_mismatch(tmp_path, rng):
     with pytest.raises(ValueError, match="blksiz"):
         AngleAnalyzer(rate=48000, blksiz=2048).analyze_many(
             files, checkpoint=ck)
+
+
+def test_checkpoint_unfingerprinted_warns(tmp_path):
+    """A pre-fingerprint (round-1 era) checkpoint has no //blksiz key and
+    so can't be verified — loading it under a declared geometry must warn
+    instead of silently trusting the tables (ADVICE r2)."""
+    import warnings
+
+    import numpy as np
+
+    ck = str(tmp_path / "old.npz")
+    np.savez(ck, f0=np.zeros((1, 720), np.float32),
+             **{"f0//rot0": np.zeros(1, np.float32)})
+    with pytest.warns(UserWarning, match="fingerprint"):
+        SweepCheckpoint(ck, blksiz=1024)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no geometry declared -> silent
+        SweepCheckpoint(ck)
