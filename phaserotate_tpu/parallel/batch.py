@@ -33,7 +33,7 @@ from ..core.sizes import OfflineGeometry
 from ..kernels.rotate_peak import rotate_peak_sweep_kernel
 from ..ops.convolve import partitioned_convolve
 from ..ops.rotate import rotate_fir
-from ..search.minimize import SearchResult, select_min_peak_angles
+from ..search.minimize import SearchResult, select_min_peak_angles_batch
 from ..search.sweep import _sweep_impl
 
 __all__ = [
@@ -120,12 +120,10 @@ def batch_find_min_peak_angles(
             part = np.concatenate(
                 [part, np.zeros((pad, *part.shape[1:]), np.float32)])
         tables, rot0 = batch_sweep_peaks(part, geom, mesh)
-        tables = np.asarray(tables)
-        rot0 = np.asarray(rot0)
-        for i in range(len(part) - pad):
-            out.append(select_min_peak_angles(
-                tables[i], stride=stride, link_channels=link_channels,
-                rot0=rot0[i]))
+        keep = len(part) - pad
+        out.extend(select_min_peak_angles_batch(
+            np.asarray(tables)[:keep], stride=stride,
+            link_channels=link_channels, rot0=np.asarray(rot0)[:keep]))
     return out
 
 

@@ -8,10 +8,18 @@ chosen angles to minimize inter-channel phase distance
 
 On TPU the full 720-entry peak table comes out of *one* batched sweep
 (search/sweep.py), so no file rewinds or re-reads are needed — but the
-selection procedure below walks that table in exactly the order and with
-exactly the tie-breaking (``<=`` keeps the last candidate visited,
-cli/phase-rotate.cc:885) of the reference, so the chosen angles match the
-CLI bit for bit given matching peak tables.
+selection below reproduces exactly the reference's visit order and
+tie-breaking (``<=`` keeps the last candidate visited,
+cli/phase-rotate.cc:885), so the chosen angles match the CLI bit for bit
+given matching peak tables.
+
+The implementation is **batched**: :func:`select_min_peak_angles_batch`
+resolves a whole fleet of tables in vectorized numpy (the reference's
+sequential scan has a closed form: with ``<=`` updates against a running
+minimum, the final selection is the *last visited occurrence of the
+global minimum*), keeping host-side selection from capping the
+device-side sweep throughput.  :func:`select_min_peak_angles` is the
+single-file wrapper.
 """
 
 from __future__ import annotations
@@ -24,7 +32,12 @@ import numpy as np
 
 from ..core.angles import MAXSAMPLE, SUBSAMPLE
 
-__all__ = ["SearchResult", "select_min_peak_angles", "coeff_to_db"]
+__all__ = [
+    "SearchResult",
+    "select_min_peak_angles",
+    "select_min_peak_angles_batch",
+    "coeff_to_db",
+]
 
 
 def coeff_to_db(coeff: float) -> float:
@@ -63,12 +76,146 @@ class SearchResult:
         return coeff_to_db(self.peak_zero[c]) - coeff_to_db(self.peak_min[c])
 
 
-def _peak(table: np.ndarray, link: bool, c: int, a: int) -> float:
-    """pr.peak(link ? -1 : c, a) with wrap (cli/phase-rotate.cc:276-299)."""
-    a = (a + MAXSAMPLE) % MAXSAMPLE
-    if link:
-        return float(table[:, a].max())
-    return float(table[c, a])
+def _validate_stride(stride: int) -> None:
+    if stride < 1 or stride > 45 * SUBSAMPLE or MAXSAMPLE % stride:
+        raise ValueError(
+            "180 deg is not evenly dividable by given stride"
+        )  # cli/phase-rotate.cc:668-671
+
+
+def select_min_peak_angles_batch(
+    peak_tables: np.ndarray,
+    stride: int = 12 * SUBSAMPLE,
+    link_channels: bool = False,
+    rot0: Optional[np.ndarray] = None,
+) -> List[SearchResult]:
+    """Reproduce the CLI's coarse->fine selection on a fleet of tables.
+
+    Args:
+      peak_tables: (files, channels, MAXSAMPLE) float32 from
+        :func:`phaserotate_tpu.parallel.batch_sweep_peaks`.
+      stride: coarse step in half-degree units (default 24 = 12 deg,
+        cli/phase-rotate.cc:597); must divide MAXSAMPLE and be <= 90.
+      link_channels: use the cross-channel max peak for selection
+        (``-l``, cli/phase-rotate.cc:639).
+      rot0: optional (files, channels) "rotated by 0" aux peaks
+        (sweep_peaks_aux): the value a fine window crossing 360 writes
+        into table slot 0 via the generic path instead of the raw-input
+        special case.
+
+    Returns one :class:`SearchResult` per file, bit-matching the CLI.
+    The comparison math runs in float64 exactly like the C++ (float
+    table values promoted through ``double`` expressions).
+    """
+    _validate_stride(stride)
+    tables = np.ascontiguousarray(
+        np.asarray(peak_tables, np.float32), dtype=np.float32
+    ).astype(np.float64)
+    if tables.ndim != 3:
+        raise ValueError(f"expected (files, channels, {MAXSAMPLE}) table")
+    F, C, M = tables.shape
+    r0 = None if rot0 is None else np.asarray(
+        rot0, np.float32).astype(np.float64).reshape(F, C)
+
+    linked = tables.max(axis=1)  # (F, M): pr.peak(-1, a)
+    pv = (np.broadcast_to(linked[:, None, :], tables.shape)
+          if link_channels else tables)
+
+    # ---- coarse scan (cli/phase-rotate.cc:815-857) ----
+    A = np.arange(0, M, stride)
+    coarse = pv[:, :, A]  # (F, C, nA)
+    c_min = coarse.min(-1)
+    c_max = coarse.max(-1)
+    degenerate = (c_max - c_min) == 0  # constant-peak channel: not found
+    r_zro = tables[:, :, 0]
+
+    if stride == 1:
+        # rng = 0: candidates are the exact coarse minima; the final
+        # assignment loop visits angles ascending, so the LAST minimum
+        # wins (assignment, not <=-update, cli/phase-rotate.cc:853-858)
+        cand = (pv == c_min[..., None]) & ~degenerate[..., None]
+        min_angle = M - 1 - np.argmax(cand[:, :, ::-1], axis=-1)
+        p_min = np.where(degenerate, np.inf, c_min)
+        found = np.isfinite(p_min)
+        min_angle = np.where(found, min_angle, 0)
+        r_min = np.take_along_axis(
+            tables, min_angle[..., None], -1)[..., 0]
+        r_min = np.where(found, r_min, 0.0)
+        cand_coarse = cand  # (F, C, M) for diagnostics (A == arange(M))
+    else:
+        thr = c_min + (c_max - c_min) * 0.07
+        cand = (coarse <= thr[..., None]) & ~degenerate[..., None]
+        cand_coarse = cand
+
+        # ---- fine pass (cli/phase-rotate.cc:866-902): the visit order
+        # is candidate angles ascending (std::map), offsets ascending;
+        # with `p <= p_min` updates the final selection is the last
+        # visited occurrence of the global minimum ----
+        stride_2 = (stride + 1) // 2
+        offs = np.arange(-stride_2, stride_2 + 1)
+        ang = A[:, None] + offs[None, :]  # (nA, L) unwrapped
+        w = ang % M
+        un = tables[:, :, w]  # (F, C, nA, L) fine_peak(False, ...)
+        if r0 is not None:
+            # a fine window crossing 360 reads the rotated-at-0
+            # accumulation, not the raw-input special slot
+            rot0_case = (w == 0) & (ang != 0)
+            un = np.where(rot0_case[None, None], r0[:, :, None, None], un)
+        if link_channels:
+            lk = linked[:, w]  # (F, nA, L)
+            if r0 is not None:
+                lk = np.where(rot0_case[None],
+                              r0.max(axis=1)[:, None, None], lk)
+            # reference quirk: a single-channel candidate re-analyzes
+            # only that channel after pr.reset(), so in link mode
+            # peak_all() degenerates to the candidate's own peak
+            # (cli/phase-rotate.cc:880, 884)
+            link_here = cand.sum(axis=1) > 1  # (F, nA)
+            V = np.where(link_here[:, None, :, None],
+                         lk[:, None], un)
+        else:
+            V = un
+        Vm = np.where(cand[..., None], V, np.inf)
+        flat = Vm.reshape(F, C, -1)  # (j, l) flattening == visit order
+        p_min = flat.min(-1)
+        K = flat.shape[-1]
+        last_k = K - 1 - np.argmax(
+            (flat == p_min[..., None])[:, :, ::-1], axis=-1)
+        found = np.isfinite(p_min)
+        min_angle = np.where(
+            found, ang.reshape(-1)[last_k] % M, 0)
+        r_min = np.take_along_axis(
+            un.reshape(F, C, -1), last_k[..., None], -1)[..., 0]
+        r_min = np.where(found, r_min, 0.0)
+
+    # ---- unwrap to minimize channel phase distance
+    # (cli/phase-rotate.cc:905-929) ----
+    cnt = found.sum(-1)  # (F,)
+    safe_cnt = np.maximum(cnt, 1)
+    avg = (min_angle * found).sum(-1) / safe_cnt
+    avg_dist = M / safe_cnt
+    wrap = ((min_angle > 90 * SUBSAMPLE)
+            & (np.abs(min_angle - avg[:, None]) > avg_dist[:, None]))
+    wrap |= (avg > 90 * SUBSAMPLE)[:, None]
+    angles = np.where(wrap, min_angle - M, min_angle)
+    angles = np.where(found & (cnt[:, None] > 0), angles, 0)
+
+    results: List[SearchResult] = []
+    for f in range(F):
+        mins: Dict[int, List[int]] = {}
+        any_c = np.nonzero(cand_coarse[f].any(axis=0))[0]
+        for j in any_c:
+            a = int(j if stride == 1 else A[j])
+            mins[a] = [int(c) for c in np.nonzero(cand_coarse[f, :, j])[0]]
+        results.append(SearchResult(
+            angles_units=[int(a) for a in angles[f]],
+            angles_deg=[float(a) / SUBSAMPLE for a in angles[f]],
+            peak_zero=[float(v) for v in r_zro[f]],
+            peak_min=[float(v) for v in r_min[f]],
+            found=[bool(v) for v in found[f]],
+            coarse_considered=mins,
+        ))
+    return results
 
 
 def select_min_peak_angles(
@@ -77,136 +224,16 @@ def select_min_peak_angles(
     link_channels: bool = False,
     rot0: Optional[np.ndarray] = None,
 ) -> SearchResult:
-    """Reproduce the CLI's coarse->fine selection on a full peak table.
+    """Single-file wrapper over :func:`select_min_peak_angles_batch`.
 
     Args:
       peak_table: (channels, MAXSAMPLE) float32 from
         :func:`phaserotate_tpu.search.sweep.sweep_peaks`.
-      stride: coarse step in half-degree units (default 24 = 12 deg,
-        cli/phase-rotate.cc:597); must divide MAXSAMPLE and be <= 90.
-      link_channels: use the cross-channel max peak for selection
-        (``-l``, cli/phase-rotate.cc:639).
-      rot0: optional (channels,) "rotated by 0" aux peaks
-        (sweep_peaks_aux): the value a fine window crossing 360 writes into
-        table slot 0 via the generic path instead of the raw-input
-        special case.  Without it, slot 0 is used for wrapped reads too
-        (difference only matters when the file's peak lies in the first
-        half block).
 
     Returns a :class:`SearchResult` whose angles match the reference CLI.
     """
-    if stride < 1 or stride > 45 * SUBSAMPLE or MAXSAMPLE % stride:
-        raise ValueError(
-            "180 deg is not evenly dividable by given stride"
-        )  # cli/phase-rotate.cc:668-671
     table = np.asarray(peak_table, np.float32)
-    n_chn = table.shape[0]
-    rot0_arr = None if rot0 is None else np.asarray(rot0, np.float32)
-
-    def fine_peak(link: bool, c: int, a_unwrapped: int) -> float:
-        """Table read during a fine pass: wrapped-0 reads resolve to the
-        rotated-at-0 accumulation (see rot0 docstring)."""
-        w = (a_unwrapped + MAXSAMPLE) % MAXSAMPLE
-        if w == 0 and a_unwrapped != 0 and rot0_arr is not None:
-            return float(rot0_arr.max() if link else rot0_arr[c])
-        return _peak(table, link, c, a_unwrapped)
-
-    # ---- coarse candidate collection (cli/phase-rotate.cc:815-857) ----
-    mins: Dict[int, List[int]] = {}
-    degenerate: set = set()
-    min_angle = [0] * n_chn
-    p_min = [float("inf")] * n_chn
-    r_zro = [0.0] * n_chn
-    r_min = [0.0] * n_chn
-
-    for c in range(n_chn):
-        c_min = float("inf")
-        c_max = 0.0
-        r_zro[c] = _peak(table, False, c, 0)
-        for a in range(0, MAXSAMPLE, stride):
-            p = _peak(table, link_channels, c, a)
-            c_min = min(c_min, p)
-            c_max = max(c_max, p)
-        rng = c_max - c_min
-        if rng == 0:
-            # Degenerate channel (constant peak, e.g. a pure tone or
-            # silence).  The reference leaves p_min uninitialized here
-            # (cli/phase-rotate.cc:836-839 — undefined behavior in C) but
-            # its output path prints "cannot find min" for p_min == inf;
-            # we implement that stated intent: the channel stays
-            # not-found and its angle is 0.  It enters no candidate list
-            # (it would pollute peak_min and the coarse diagnostics).
-            degenerate.add(c)
-            continue
-        if stride > 1:
-            rng *= 0.07
-            p_min[c] = float("inf")
-        else:
-            rng = 0.0
-            p_min[c] = c_min
-        for a in range(0, MAXSAMPLE, stride):
-            p = _peak(table, link_channels, c, a)
-            if p <= c_min + rng:
-                mins.setdefault(a, []).append(c)
-
-    if stride == 1:
-        for ma in sorted(mins):
-            for cn in mins[ma]:
-                if cn in degenerate:
-                    continue  # stays not-found, like the stride>1 pass
-                min_angle[cn] = ma
-                r_min[cn] = _peak(table, False, cn, ma)
-    else:
-        # ---- fine pass (cli/phase-rotate.cc:866-902); the full-resolution
-        # table already holds what each re-analysis would produce ----
-        stride_2 = (stride + 1) // 2
-        for ma in sorted(mins):  # std::map iterates ascending
-            # Reference quirk: a single-channel candidate re-analyzes only
-            # that channel after pr.reset(), so in link mode peak_all()
-            # reads zeros for the other channels and degenerates to the
-            # candidate channel's own peak (cli/phase-rotate.cc:880, 884).
-            link_here = link_channels and len(mins[ma]) > 1
-            for cn in mins[ma]:
-                if cn in degenerate:
-                    continue
-                for a in range(ma - stride_2, ma + stride_2 + 1):
-                    p = fine_peak(link_here, cn, a)
-                    if p <= p_min[cn]:
-                        p_min[cn] = p
-                        r_min[cn] = fine_peak(False, cn, a)
-                        min_angle[cn] = (a + MAXSAMPLE) % MAXSAMPLE
-
-    # ---- collect results (cli/phase-rotate.cc:905-915) ----
-    avg_rotate = 0.0
-    avg_count = 0
-    for c in range(n_chn):
-        if p_min[c] != float("inf"):
-            avg_rotate += min_angle[c]
-            avg_count += 1
-    found = [p_min[c] != float("inf") for c in range(n_chn)]
-    angles: List[int] = []
-    if avg_count:
-        avg_rotate /= avg_count
-        avg_dist = MAXSAMPLE / float(avg_count)
-        # ---- minimize channel phase distance (cli/phase-rotate.cc:918-929)
-        for c in range(n_chn):
-            if not found[c]:
-                angles.append(0)
-            else:
-                ma = min_angle[c]
-                if ma > 90 * SUBSAMPLE and abs(ma - avg_rotate) > avg_dist:
-                    ma -= MAXSAMPLE
-                elif avg_rotate > 90 * SUBSAMPLE:
-                    ma -= MAXSAMPLE
-                angles.append(ma)
-    else:
-        angles = [0] * n_chn
-
-    return SearchResult(
-        angles_units=angles,
-        angles_deg=[a / SUBSAMPLE for a in angles],
-        peak_zero=r_zro,
-        peak_min=r_min,
-        found=found,
-        coarse_considered=mins,
-    )
+    return select_min_peak_angles_batch(
+        table[None], stride=stride, link_channels=link_channels,
+        rot0=None if rot0 is None else np.asarray(rot0, np.float32)[None],
+    )[0]

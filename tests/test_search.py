@@ -184,6 +184,114 @@ def test_stride_validation():
         select_min_peak_angles(table, stride=120)  # > 45 deg
 
 
+def _sequential_select(peak_table, stride=12 * SUBSAMPLE,
+                       link_channels=False, rot0=None):
+    """The CLI's literal sequential selection loop
+    (cli/phase-rotate.cc:815-929) — kept as the tie-breaking oracle for
+    the vectorized select_min_peak_angles_batch."""
+    table = np.asarray(peak_table, np.float32)
+    n_chn = table.shape[0]
+    rot0_arr = None if rot0 is None else np.asarray(rot0, np.float32)
+
+    def peak(link, c, a):
+        a = (a + MAXSAMPLE) % MAXSAMPLE
+        return float(table[:, a].max()) if link else float(table[c, a])
+
+    def fine_peak(link, c, a_unwrapped):
+        w = (a_unwrapped + MAXSAMPLE) % MAXSAMPLE
+        if w == 0 and a_unwrapped != 0 and rot0_arr is not None:
+            return float(rot0_arr.max() if link else rot0_arr[c])
+        return peak(link, c, a_unwrapped)
+
+    mins, degenerate = {}, set()
+    min_angle = [0] * n_chn
+    p_min = [float("inf")] * n_chn
+    r_min = [0.0] * n_chn
+    for c in range(n_chn):
+        vals = [peak(link_channels, c, a)
+                for a in range(0, MAXSAMPLE, stride)]
+        c_min, c_max = min(vals), max(vals)
+        rng_ = c_max - c_min
+        if rng_ == 0:
+            degenerate.add(c)
+            continue
+        if stride > 1:
+            rng_ *= 0.07
+            p_min[c] = float("inf")
+        else:
+            rng_ = 0.0
+            p_min[c] = c_min
+        for a in range(0, MAXSAMPLE, stride):
+            if peak(link_channels, c, a) <= c_min + rng_:
+                mins.setdefault(a, []).append(c)
+    if stride == 1:
+        for ma in sorted(mins):
+            for cn in mins[ma]:
+                min_angle[cn] = ma
+                r_min[cn] = peak(False, cn, ma)
+    else:
+        stride_2 = (stride + 1) // 2
+        for ma in sorted(mins):
+            link_here = link_channels and len(mins[ma]) > 1
+            for cn in mins[ma]:
+                for a in range(ma - stride_2, ma + stride_2 + 1):
+                    p = fine_peak(link_here, cn, a)
+                    if p <= p_min[cn]:
+                        p_min[cn] = p
+                        r_min[cn] = fine_peak(False, cn, a)
+                        min_angle[cn] = (a + MAXSAMPLE) % MAXSAMPLE
+    avg = sum(min_angle[c] for c in range(n_chn)
+              if p_min[c] != float("inf"))
+    cnt = sum(p_min[c] != float("inf") for c in range(n_chn))
+    found = [p_min[c] != float("inf") for c in range(n_chn)]
+    angles = []
+    if cnt:
+        avg /= cnt
+        avg_dist = MAXSAMPLE / float(cnt)
+        for c in range(n_chn):
+            if not found[c]:
+                angles.append(0)
+                continue
+            ma = min_angle[c]
+            if ma > 90 * SUBSAMPLE and abs(ma - avg) > avg_dist:
+                ma -= MAXSAMPLE
+            elif avg > 90 * SUBSAMPLE:
+                ma -= MAXSAMPLE
+            angles.append(ma)
+    else:
+        angles = [0] * n_chn
+    return angles, found, r_min, mins
+
+
+@pytest.mark.parametrize("stride", [1, 2, 24, 90])
+@pytest.mark.parametrize("link", [False, True])
+def test_vectorized_selection_matches_sequential(rng, stride, link):
+    """Fuzz the batched selection against the sequential CLI loop.
+    Tables quantized to few levels force exact float ties, stressing the
+    last-visited-wins tie-breaking and the link-mode quirks."""
+    from phaserotate_tpu.search.minimize import select_min_peak_angles_batch
+
+    F = 24
+    tables = rng.integers(1, 7, size=(F, 2, MAXSAMPLE)).astype(
+        np.float32) * 0.125
+    tables[0, 0, :] = 0.5  # degenerate channel
+    tables[1] = 0.25  # fully degenerate file
+    rot0 = rng.integers(1, 7, size=(F, 2)).astype(np.float32) * 0.125
+    for use_rot0 in (False, True):
+        got = select_min_peak_angles_batch(
+            tables, stride=stride, link_channels=link,
+            rot0=rot0 if use_rot0 else None)
+        for f in range(F):
+            angles, found, r_min, mins = _sequential_select(
+                tables[f], stride=stride, link_channels=link,
+                rot0=rot0[f] if use_rot0 else None)
+            assert got[f].angles_units == angles, (f, stride, link)
+            assert got[f].found == found
+            np.testing.assert_allclose(got[f].peak_min, r_min, rtol=0,
+                                       atol=0)
+            assert got[f].coarse_considered == mins
+
+
 def test_link_channels_mode(rng):
     """Linked selection uses the cross-channel max table."""
     x = make_signal(rng, 2, 3000)
