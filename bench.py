@@ -111,6 +111,12 @@ def bench_search_e2e(rate=48000, seconds=10, batch=512):
 
 
 def main():
+    # persist compiled executables: the remote compile-helper can stall
+    # for minutes under load, and every benchmark shape is deterministic,
+    # so later runs (including the driver's) hit the cache
+    from phaserotate_tpu.core.plancache import enable_persistent_cache
+
+    enable_persistent_cache()
     platform = jax.devices()[0].platform
     rt = bench_rotate()
     fps = bench_search()

@@ -122,10 +122,19 @@ def hilbert_fir(
 def _rotate_fir_impl(x: jnp.ndarray, turns: jnp.ndarray, firlen: int):
     if _on_tpu():
         from ..kernels.fused_conv import fused_rotate_fir, mix_supported
+        from ..kernels.stream_conv import (
+            fused_rotate_small,
+            stream_mix_supported,
+        )
 
+        if stream_mix_supported(firlen):
+            # direct-DFT small-geometry kernel: conv + group-delay +
+            # rotation mix in one VMEM pass at ~4.9 kflop/sample — the
+            # fastest path for every plugin FIR (doc/KERNELS.md)
+            return fused_rotate_small(x, turns, firlen)
         if mix_supported(firlen):
-            # single-pass kernel: conv + group-delay + rotation mix all
-            # in VMEM; HBM traffic is read-x + write-out only
+            # 4-step matmul-FFT kernel for FIRs the small kernel can't
+            # frame (same single-pass structure)
             turns_b = jnp.broadcast_to(
                 jnp.asarray(turns, jnp.float32), x.shape[:-1])
             return fused_rotate_fir(x, turns_b, firlen)

@@ -66,6 +66,22 @@ def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
         from ..kernels.fused_conv import fused_hilbert
 
         return fused_hilbert(x, firlen=parsiz, parsiz=parsiz)
+    if _on_tpu():
+        # MIN_BLKSIZ geometry (parsiz 1024 < the 4-step kernel's floor):
+        # the direct-DFT small-geometry kernel covers it fused too
+        from ..kernels.stream_conv import (
+            fused_hilbert_small,
+            small_conv_supported,
+        )
+
+        if small_conv_supported(parsiz):
+            h = fused_hilbert_small(x, fir_taps=parsiz)
+            want = (n_blocks + 1) * parsiz
+            if h.shape[-1] < want:  # conv support ends before the flush
+                # block boundary: the missing tail is exactly zero
+                h = jnp.pad(
+                    h, [(0, 0)] * (h.ndim - 1) + [(0, want - h.shape[-1])])
+            return h[..., :want]
     spectra = offline_fir_spectrum(geom)[None]  # (1, parsiz+1, 2)
     full = partitioned_convolve(x, spectra, parsiz)
     return full[..., : (n_blocks + 1) * parsiz]

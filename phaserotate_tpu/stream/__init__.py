@@ -5,6 +5,7 @@ from .engine import (
     init_state,
     rotate_streamed,
     stream_process,
+    stream_process_bulk,
     stream_step,
 )
 from .host import StreamingRotator
@@ -15,6 +16,7 @@ __all__ = [
     "init_state",
     "rotate_streamed",
     "stream_process",
+    "stream_process_bulk",
     "stream_step",
 ]
 

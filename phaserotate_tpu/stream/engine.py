@@ -38,6 +38,7 @@ __all__ = [
     "stream_step",
     "stream_step_batched",
     "stream_process",
+    "stream_process_bulk",
     "stream_process_batched",
     "rotate_streamed",
 ]
@@ -85,6 +86,55 @@ def init_state(geom: StreamGeometry, channels: Tuple[int, ...] = ()) -> StreamSt
     )
 
 
+def _angle_step(
+    angle: jnp.ndarray,
+    target: jnp.ndarray,
+    geom: StreamGeometry,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One block's angle-ramp bookkeeping (src/phaserotate.c:673-709).
+
+    Returns ``(new_angle, da, interpolating)`` — the per-sample slope
+    ``da`` (0 when steady) and the post-block angle.  Shared by the
+    sequential step and the bulk path so both mix with *identical*
+    arithmetic."""
+    parsiz = geom.parsiz
+    da = target - angle
+    # wrap around at +-180 deg (src/phaserotate.c:676-683)
+    da = jnp.where(jnp.abs(da) > 0.5, da - jnp.sign(da) * 1.0, da)
+    da = da * jnp.float32(geom.interp_nm)
+    thresh = jnp.float32(geom.interp_th)
+    clipped = jnp.abs(da) > thresh
+    da = jnp.clip(da, -thresh, thresh)
+    interpolating = target != angle
+    new_angle = jnp.where(
+        interpolating,
+        jnp.where(clipped, angle + da * parsiz, target),
+        angle,
+    )
+    return new_angle, jnp.where(interpolating, da, 0.0), interpolating
+
+
+def _mix_apply(
+    delayed_in: jnp.ndarray,
+    hilb: jnp.ndarray,
+    angle: jnp.ndarray,
+    da: jnp.ndarray,
+    interpolating: jnp.ndarray,
+    parsiz: int,
+) -> jnp.ndarray:
+    """Apply the rotation mix given the block's angle/slope
+    (src/phaserotate.c:700, 710-717)."""
+    twopi = jnp.float32(2.0 * jnp.pi)
+    idx = jnp.arange(parsiz, dtype=jnp.float32)
+    rad = (angle + da * idx) * twopi  # sample i: pre-increment angle
+    out_interp = jnp.cos(rad) * delayed_in + jnp.sin(rad) * hilb
+    # steady state: constant coefficients (src/phaserotate.c:710-717)
+    rad0 = angle * twopi
+    out_const = jnp.cos(rad0) * delayed_in + jnp.sin(rad0) * hilb
+    out = jnp.where(interpolating, out_interp, out_const)
+    return out.astype(jnp.float32)
+
+
 def _mix_block(
     delayed_in: jnp.ndarray,
     hilb: jnp.ndarray,
@@ -94,34 +144,10 @@ def _mix_block(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rotation mix with click-free per-sample interpolation
     (src/phaserotate.c:673-717).  Returns (out_block, new_angle)."""
-    parsiz = geom.parsiz
-    twopi = jnp.float32(2.0 * jnp.pi)
-
-    da = target - angle
-    # wrap around at +-180 deg (src/phaserotate.c:676-683)
-    da = jnp.where(jnp.abs(da) > 0.5, da - jnp.sign(da) * 1.0, da)
-    da = da * jnp.float32(geom.interp_nm)
-    thresh = jnp.float32(geom.interp_th)
-    clipped = jnp.abs(da) > thresh
-    da = jnp.clip(da, -thresh, thresh)
-
-    idx = jnp.arange(parsiz, dtype=jnp.float32)
-    angles = angle + da * idx  # sample i uses the pre-increment angle
-    rad = angles * twopi
-    out_interp = jnp.cos(rad) * delayed_in + jnp.sin(rad) * hilb
-
-    # steady state: constant coefficients (src/phaserotate.c:710-717)
-    rad0 = angle * twopi
-    out_const = jnp.cos(rad0) * delayed_in + jnp.sin(rad0) * hilb
-
-    interpolating = target != angle
-    out = jnp.where(interpolating, out_interp, out_const)
-    new_angle = jnp.where(
-        interpolating,
-        jnp.where(clipped, angle + da * parsiz, target),
-        angle,
-    )
-    return out.astype(jnp.float32), new_angle
+    new_angle, da, interpolating = _angle_step(angle, target, geom)
+    out = _mix_apply(delayed_in, hilb, angle, da, interpolating,
+                     geom.parsiz)
+    return out, new_angle
 
 
 @functools.partial(jax.jit, static_argnames=("geom",))
@@ -240,12 +266,156 @@ def stream_process_batched(
     return jax.vmap(per_channel)(state, frames, targets)
 
 
+@functools.partial(jax.jit, static_argnames=("geom",))
+def angle_sequence(
+    angle0: jnp.ndarray,
+    target_degrees: jnp.ndarray,
+    geom: StreamGeometry,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Unroll the per-block angle-ramp recursion for a frame sequence.
+
+    The angle carry (src/phaserotate.c:673-709) is the only sequential
+    dependency of the streaming engine that feeds the *output values*;
+    it is scalar, so a whole bulk call's worth is resolved with one tiny
+    scan.  Returns ``(angles, das, interpolating, final_angle)`` — the
+    pre-block angle and slope each frame mixes with.
+    """
+    targets = degrees_to_turns(
+        jnp.asarray(target_degrees, jnp.float32))
+
+    def body(angle, tgt):
+        new_angle, da, interp = _angle_step(angle, tgt, geom)
+        return new_angle, (angle, da, interp)
+
+    final_angle, (angles, das, interps) = jax.lax.scan(
+        body, angle0, targets)
+    return angles, das, interps, final_angle
+
+
+@functools.partial(jax.jit, static_argnames=("geom",))
+def stream_process_bulk(
+    state: StreamState,
+    frames: jnp.ndarray,
+    target_degrees: jnp.ndarray,
+    geom: StreamGeometry,
+) -> Tuple[StreamState, jnp.ndarray]:
+    """Vectorized equivalent of :func:`stream_process`: every frame's FFT
+    in one batched transform instead of a sequential scan.
+
+    The scan in :func:`stream_process` serializes what is almost entirely
+    parallel work: the frequency delay line only *reads* past spectra, the
+    OLA tail reaches back exactly one block, and the angle carry is scalar
+    (resolved by :func:`angle_sequence` up front).  So the whole bulk call
+    becomes: one batched rfft over all frames, a block-axis FIR MAC
+    (static slices of the extended spectrum sequence), one batched irfft,
+    a shifted add for the OLA, and the vmapped rotation mix — the shapes
+    XLA and the MXU want, with identical per-block arithmetic.
+
+    Same signature/semantics as :func:`stream_process` including the
+    returned mid-stream state (bit-matching continuation; parity-tested).
+    """
+    from ..utils.cplx import from_ri, to_ri
+
+    parsiz, n_segm = geom.parsiz, geom.n_segm
+    fir_spectra = from_ri(stream_fir_spectra(geom))  # (n_segm, nbins)
+    frames = jnp.asarray(frames, jnp.float32)
+    n_frames = frames.shape[0]
+
+    angles, das, interps, final_angle = angle_sequence(
+        state.angle, target_degrees, geom)
+
+    # ---- spectra of every frame in one transform ----
+    spec = jnp.fft.rfft(frames, n=geom.fftlen)  # (n_frames, nbins)
+    # extended sequence: E[j] = spectrum of global frame j - (n_segm-1)
+    # (history rows are newest-first in the state)
+    hist = from_ri(state.spec_hist)[n_segm - 2 :: -1] if n_segm > 1 \
+        else spec[:0]
+    E = jnp.concatenate([hist, spec], axis=0)
+
+    # ---- frequency delay line MAC (src/phaserotate.c:640-655) ----
+    freq_sum = E[n_segm - 1 : n_segm - 1 + n_frames] * fir_spectra[0]
+    for s in range(1, n_segm):
+        freq_sum = freq_sum + (
+            E[n_segm - 1 - s : n_segm - 1 - s + n_frames] * fir_spectra[s])
+
+    y = jnp.fft.irfft(freq_sum, n=geom.fftlen)  # (n_frames, fftlen)
+
+    # ---- overlap-add: tail reaches back exactly one block ----
+    tails = jnp.concatenate([state.tail[None], y[:-1, parsiz:]], axis=0)
+    hilb = y[:, :parsiz] + tails
+
+    # ---- group-delay-aligned dry signal (src/phaserotate.c:664-670) ----
+    t_hist = state.time_hist[n_segm // 2 - 1 :: -1]
+    ext_time = jnp.concatenate([t_hist, frames], axis=0)
+    delayed_in = ext_time[:n_frames]
+
+    out = jax.vmap(_mix_apply, in_axes=(0, 0, 0, 0, 0, None))(
+        delayed_in, hilb, angles, das, interps, parsiz)
+
+    new_state = StreamState(
+        spec_hist=to_ri(jnp.flip(E, axis=0)[:n_segm]),
+        time_hist=jnp.flip(ext_time, axis=0)[: n_segm // 2 + 1],
+        tail=y[-1, parsiz:],
+        angle=final_angle,
+    )
+    return new_state, out
+
+
+def _internal_angle_params(angles, das, geom: StreamGeometry):
+    """Expand per-plugin-block (angle, slope) to the kernel's internal
+    256-sample framing: frame j of a block starts ``256*j`` samples into
+    its ramp."""
+    from ..kernels.stream_conv import P
+
+    r = geom.parsiz // P
+    offs = jnp.float32(P) * jnp.arange(r, dtype=jnp.float32)
+    a = angles[:, None] + das[:, None] * offs[None, :]
+    d = jnp.broadcast_to(das[:, None], a.shape)
+    return jnp.stack([a.reshape(-1), d.reshape(-1)], axis=-1)
+
+
+def _rotate_streamed_fused(frames, targets, geom: StreamGeometry,
+                           chunk_frames: int) -> jnp.ndarray:
+    """Whole-stream rotation through the fused small-geometry kernel
+    (kernels/stream_conv.py) — a fresh plugin instance's exact stream.
+
+    Chunking contract: the kernel's entire cross-frame state (spectrum
+    history, OLA tail, dry-signal delay) reaches back at most
+    ``firlen`` samples — the tail of a chunk's first frame needs the
+    full ``firlen/256`` previous frames — so each chunk re-feeds those
+    as a prelude and drops their outputs, bit-identical to the
+    unchunked run (older history contributes exact zeros).
+    """
+    from ..kernels.stream_conv import P, fused_stream_mix
+
+    n_frames = frames.shape[0]
+    angles, das, _, _ = angle_sequence(
+        jnp.zeros((), jnp.float32), targets, geom)
+    params = _internal_angle_params(angles, das, geom)[None]
+    fr256 = frames.reshape(1, -1, P)
+    total_int = fr256.shape[1]
+    pre = geom.firlen // P
+    chunk_int = chunk_frames * (geom.parsiz // P)
+    if total_int <= chunk_int:
+        return fused_stream_mix(fr256, params, geom.firlen)[0].reshape(-1)
+    outs = []
+    for start in range(0, total_int, chunk_int):
+        lead = min(pre, start)
+        end = min(start + chunk_int, total_int)
+        out = fused_stream_mix(
+            fr256[:, start - lead : end],
+            params[:, start - lead : end], geom.firlen)
+        outs.append(out[0, lead:].reshape(-1))
+    return jnp.concatenate(outs)
+
+
 def rotate_streamed(
     audio,
     degrees,
     rate: float = 48000.0,
     geom: StreamGeometry | None = None,
     trim_latency: bool = True,
+    chunk_frames: int = 16384,
 ):
     """Rotate a whole signal through the streaming engine.
 
@@ -253,6 +423,11 @@ def rotate_streamed(
     full file through the plugin would get.  With ``trim_latency`` the
     ``parsiz + firlen/2`` delay is removed so the result aligns with
     :func:`phaserotate_tpu.ops.rotate`.
+
+    Runs the vectorized bulk engine (:func:`stream_process_bulk`) in
+    ``chunk_frames`` slices — the state carry between slices is exact, so
+    arbitrarily long signals stream through at O(chunk) device memory
+    (SURVEY.md §5 long-context posture).
     """
     if geom is None:
         geom = stream_geometry_for_rate(rate)
@@ -266,9 +441,24 @@ def rotate_streamed(
     frames = x_pad.reshape(pad_frames, parsiz)
     targets = jnp.full((pad_frames,), jnp.float32(degrees))
 
-    state = init_state(geom)
-    _, out_frames = stream_process(state, frames, targets, geom)
-    y = out_frames.reshape(total)
+    from ..kernels.rotate_peak import on_tpu
+    from ..kernels.stream_conv import stream_mix_supported
+
+    if on_tpu() and stream_mix_supported(geom.firlen):
+        y = _rotate_streamed_fused(frames, targets, geom, chunk_frames)
+    elif pad_frames <= chunk_frames:
+        state = init_state(geom)
+        _, out_frames = stream_process_bulk(state, frames, targets, geom)
+        y = out_frames.reshape(total)
+    else:
+        state = init_state(geom)
+        outs = []
+        for start in range(0, pad_frames, chunk_frames):
+            state, out_frames = stream_process_bulk(
+                state, frames[start : start + chunk_frames],
+                targets[start : start + chunk_frames], geom)
+            outs.append(out_frames.reshape(-1))
+        y = jnp.concatenate(outs)
     if trim_latency:
         # the scan output already absorbs the parsiz pipeline delay (frame k
         # of the output is computed from input frame k); only the FIR group

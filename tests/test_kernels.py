@@ -181,3 +181,123 @@ class TestFusedConv:
         assert not supported_parsiz(32768)
         # the dispatch point honors it (hilbert_offline on CPU already
         # takes the XLA path; this guards the TPU branch condition)
+
+
+class TestStreamConv:
+    """Small-geometry direct-DFT kernel (kernels/stream_conv.py) — the
+    TPU production path for the plugin geometries (parsiz 256/512/1024,
+    src/phaserotate.c:278-297) and the offline MIN_BLKSIZ (1024)."""
+
+    @pytest.mark.parametrize("taps", [1024, 3072, 4096, 8192])
+    def test_conv_matches_partitioned_convolve(self, rng, taps):
+        import jax.numpy as jnp
+
+        from phaserotate_tpu.core.fir import partition_fir_spectra
+        from phaserotate_tpu.kernels.stream_conv import fused_hilbert_small
+        from phaserotate_tpu.ops.convolve import partitioned_convolve
+
+        n = 5000
+        x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+        h = np.asarray(fused_hilbert_small(x, taps, t_blocks=16))
+        want = np.asarray(partitioned_convolve(
+            x, partition_fir_spectra(taps, taps), taps))
+        m = min(h.shape[-1], want.shape[-1])
+        np.testing.assert_allclose(h[..., :m], want[..., :m], atol=1e-5)
+
+    @pytest.mark.parametrize("rate", [48000, 96000, 192000])
+    def test_stream_mix_matches_scan_engine(self, rng, rate):
+        """Full fused block body (conv + delay + per-sample angle ramp)
+        vs the sequential scan engine, across every plugin geometry."""
+        import jax.numpy as jnp
+
+        from phaserotate_tpu.core.sizes import stream_geometry_for_rate
+        from phaserotate_tpu.kernels.stream_conv import P, fused_stream_mix
+        from phaserotate_tpu.stream.engine import (
+            _internal_angle_params,
+            angle_sequence,
+            init_state,
+            stream_process,
+        )
+
+        geom = stream_geometry_for_rate(rate)
+        n_frames = 20
+        frames = rng.standard_normal(
+            (n_frames, geom.parsiz)).astype(np.float32)
+        targets = np.concatenate(
+            [np.zeros(3), np.full(10, 90.0), np.full(7, -50.0)]).astype(
+            np.float32)
+        _, want = stream_process(
+            init_state(geom), jnp.asarray(frames), jnp.asarray(targets),
+            geom)
+        angles, das, _, _ = angle_sequence(
+            jnp.zeros((), jnp.float32), jnp.asarray(targets), geom)
+        params = _internal_angle_params(angles, das, geom)[None]
+        out = np.asarray(fused_stream_mix(
+            jnp.asarray(frames.reshape(1, -1, P)), params, geom.firlen,
+            t_blocks=8))
+        np.testing.assert_allclose(
+            out.reshape(n_frames, geom.parsiz), np.asarray(want),
+            atol=1e-5)
+
+    def test_rotate_small_matches_unfused(self, rng):
+        import jax.numpy as jnp
+
+        from phaserotate_tpu.core.angles import degrees_to_turns
+        from phaserotate_tpu.core.fir import partition_fir_spectra
+        from phaserotate_tpu.kernels.stream_conv import fused_rotate_small
+        from phaserotate_tpu.ops.convolve import partitioned_convolve
+
+        firlen, n = 3072, 9000
+        x = rng.standard_normal((3, n)).astype(np.float32)
+        degs = np.asarray([0.0, 90.0, -77.0], np.float32)
+        turns = degrees_to_turns(jnp.asarray(degs))
+        got = np.asarray(fused_rotate_small(
+            jnp.asarray(x), turns, firlen, t_blocks=16))
+        lat = firlen // 2
+        h = np.asarray(partitioned_convolve(
+            jnp.asarray(x), partition_fir_spectra(firlen, firlen),
+            firlen))[:, lat : lat + n]
+        sa = np.sin(2 * np.pi * np.asarray(turns))
+        ca = np.cos(2 * np.pi * np.asarray(turns))
+        want = ca[:, None] * x + sa[:, None] * h
+        np.testing.assert_allclose(got, want, atol=2e-5)
+        # angle 0: exact identity (cos=1, sin=0 exactly at turns=0)
+        np.testing.assert_allclose(got[0], x[0], atol=1e-6)
+
+    def test_chunked_prelude_equals_unchunked(self, rng):
+        """rotate_streamed's fused chunking contract: re-feeding the
+        firlen/256-1 prelude frames and dropping their outputs is
+        bit-identical to one unchunked call."""
+        import jax.numpy as jnp
+
+        from phaserotate_tpu.core.sizes import stream_geometry_for_rate
+        from phaserotate_tpu.stream.engine import (
+            _rotate_streamed_fused,
+            angle_sequence,
+        )
+
+        geom = stream_geometry_for_rate(48000)
+        n_frames = 40
+        frames = jnp.asarray(rng.standard_normal(
+            (n_frames, geom.parsiz)).astype(np.float32))
+        targets = jnp.asarray(
+            np.full(n_frames, 35.0, np.float32))
+        whole = np.asarray(_rotate_streamed_fused(
+            frames, targets, geom, chunk_frames=n_frames))
+        split = np.asarray(_rotate_streamed_fused(
+            frames, targets, geom, chunk_frames=13))
+        np.testing.assert_array_equal(whole, split)
+
+    def test_support_tables(self):
+        from phaserotate_tpu.kernels.stream_conv import (
+            small_conv_supported,
+            stream_mix_supported,
+        )
+
+        assert small_conv_supported(1024)   # offline MIN_BLKSIZ FIR
+        assert stream_mix_supported(3072)   # 44.1/48k
+        assert stream_mix_supported(4096)   # 88.2/96k
+        assert stream_mix_supported(8192)   # >=128k
+        assert not small_conv_supported(100)
+        assert not small_conv_supported(256)  # ns=1: no delay line
+        assert not small_conv_supported(64 * 256 + 256)

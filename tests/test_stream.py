@@ -203,6 +203,56 @@ def test_plancache_warmup_and_persistent_cache(tmp_path):
     assert jax.config.jax_compilation_cache_dir == str(cache)
 
 
+@pytest.mark.parametrize("rate", [48000, 96000, 192000])
+def test_bulk_engine_matches_scan(rng, rate):
+    """stream_process_bulk (batched FFTs, block-axis FIR MAC) must match
+    the sequential scan — output to FFT-reassociation noise, carried
+    state exactly — across every plugin geometry, through an angle ramp."""
+    from phaserotate_tpu.stream import stream_process_bulk
+
+    geom = sizes.stream_geometry_for_rate(rate)
+    n_frames = 40
+    frames = rng.standard_normal((n_frames, geom.parsiz)).astype(np.float32)
+    targets = np.concatenate(
+        [np.zeros(5), np.full(20, 90.0), np.full(15, -33.0)]).astype(
+        np.float32)
+    s0 = init_state(geom)
+    s_scan, out_scan = stream_process(s0, frames, targets, geom)
+    s_bulk, out_bulk = stream_process_bulk(s0, frames, targets, geom)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_bulk),
+                               atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(s_scan.spec_hist),
+                                  np.asarray(s_bulk.spec_hist))
+    np.testing.assert_array_equal(np.asarray(s_scan.time_hist),
+                                  np.asarray(s_bulk.time_hist))
+    np.testing.assert_allclose(np.asarray(s_scan.tail),
+                               np.asarray(s_bulk.tail), atol=1e-6)
+    assert float(s_scan.angle) == float(s_bulk.angle)
+
+
+def test_bulk_engine_split_continuation(rng):
+    """Mid-stream state carry across bulk calls is exact: two chunked
+    calls equal one (the chunking contract rotate_streamed relies on)."""
+    from phaserotate_tpu.stream import stream_process_bulk
+
+    n_frames = 30
+    frames = rng.standard_normal((n_frames, GEOM.parsiz)).astype(np.float32)
+    targets = np.linspace(-170, 170, n_frames).astype(np.float32)
+    s0 = init_state(GEOM)
+    _, want = stream_process_bulk(s0, frames, targets, GEOM)
+    s1, o1 = stream_process_bulk(s0, frames[:17], targets[:17], GEOM)
+    _, o2 = stream_process_bulk(s1, frames[17:], targets[17:], GEOM)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(o1), np.asarray(o2)]), np.asarray(want))
+
+
+def test_rotate_streamed_chunked_matches_unchunked(rng):
+    x = rng.standard_normal(9 * GEOM.parsiz + 100).astype(np.float32)
+    a = np.asarray(rotate_streamed(x, 70.0, geom=GEOM))
+    b = np.asarray(rotate_streamed(x, 70.0, geom=GEOM, chunk_frames=8))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_host_bulk_path_matches_per_frame(rng):
     """Large host blocks take the single-dispatch scan path; output must
     be bit-identical to tiny-block (per-frame) streaming."""
