@@ -19,6 +19,12 @@ bundle:
 test:
 	$(PYTHON) -m pytest tests/ -x -q
 
+# compiled-Mosaic parity on the real chip (skips cleanly off-TPU):
+# the interpret-mode claims of tests/ re-verified against the compiled
+# kernels (round-2 verdict, weak #1)
+test-tpu:
+	$(PYTHON) -m pytest tests_tpu/ -x -q
+
 bench:
 	$(PYTHON) bench.py
 
@@ -39,4 +45,4 @@ clean:
 	$(MAKE) -C native clean
 	rm -rf build
 
-.PHONY: all native bundle test bench man install clean
+.PHONY: all native bundle test test-tpu bench man install clean

@@ -110,6 +110,94 @@ def bench_search_e2e(rate=48000, seconds=10, batch=512):
     return batch / statistics.median(runs)
 
 
+def bench_stream(rate=48000, blocks=(64, 256, 1024), n_iters=24):
+    """Single-stream real-time margin of the synchronous host shell:
+    one device round trip per completed frame — the per-block latency an
+    LV2 host would see from StreamingRotator/the plugin directly.
+    Returns {block: (median_ms_per_block, x_realtime)}."""
+    from phaserotate_tpu.stream import StreamingRotator
+
+    rng = np.random.default_rng(3)
+    out = {}
+    for block in blocks:
+        rot = StreamingRotator(rate=rate, channels=1)
+        x = rng.standard_normal(block).astype(np.float32)
+        for _ in range(6):
+            rot.process(x, 30.0)  # compile + warm
+        # amortized: small blocks complete a frame only every
+        # parsiz/block calls, so time the whole run, not per-call
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            rot.process(x, 30.0)
+        dt = (time.perf_counter() - t0) / n_iters
+        out[block] = (dt * 1e3, (block / rate) / dt)
+    return out
+
+
+def bench_stream_pipelined(rate=48000, block=256, depth=16, n_iters=400):
+    """Real-time margin of the depth-``depth`` dispatch pipeline
+    (stream/host.py): readbacks always have ``depth`` frames of slack,
+    so the per-block cost is enqueue + an already-landed host copy.
+    Cost: ``depth*parsiz`` extra samples of reported latency.
+    Returns (x_realtime, extra_latency_ms, p99_ms)."""
+    from phaserotate_tpu.stream import StreamingRotator
+
+    rot = StreamingRotator(rate=rate, channels=1, pipeline_depth=depth)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(block).astype(np.float32)
+    for _ in range(depth + 8):
+        rot.process(x, 30.0)  # compile, warm, fill the pipeline
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        rot.process(x, 30.0)
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    p99 = sorted(times)[min(len(times) - 1, int(0.99 * len(times)))]
+    extra_ms = (rot.latency - rot.geom.latency) / rate * 1e3
+    return (block / rate) / med, extra_ms, p99 * 1e3
+
+
+def bench_daemon(rate=48000, block=256, depth=16, n_iters=300):
+    """Round-trip latency through the engine daemon (socket protocol),
+    pipelined: what the LV2 shim / prt_bridge experiences per block.
+    Returns (median_rtt_ms, x_realtime, p99_ms)."""
+    import subprocess
+    import sys
+    import tempfile
+
+    from phaserotate_tpu.bridge import BridgeClient
+
+    sock = os.path.join(tempfile.mkdtemp(prefix="prtbench"), "engine.sock")
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge", "--socket", sock,
+         "--ready-fd", str(w), "--pipeline", str(depth)],
+        pass_fds=(w,), stderr=subprocess.DEVNULL)
+    os.close(w)
+    try:
+        if os.read(r, 1) != b"R":
+            raise RuntimeError("bridge daemon failed to start")
+        os.close(r)
+        cl = BridgeClient(sock, rate, 1)
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((1, block)).astype(np.float32)
+        for _ in range(depth + 8):
+            cl.process(x, 30.0)
+        times = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            cl.process(x, 30.0)
+            times.append(time.perf_counter() - t0)
+        cl.close()
+        med = statistics.median(times)
+        p99 = sorted(times)[min(len(times) - 1, int(0.99 * len(times)))]
+        return med * 1e3, (block / rate) / med, p99 * 1e3
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
 def main():
     # persist compiled executables: the remote compile-helper can stall
     # for minutes under load, and every benchmark shape is deterministic,
@@ -121,6 +209,9 @@ def main():
     rt = bench_rotate()
     fps = bench_search()
     fps_e2e = bench_search_e2e()
+    sync = bench_stream()
+    pipe_xrt, pipe_extra_ms, pipe_p99 = bench_stream_pipelined()
+    rtt_ms, rtt_xrt, rtt_p99 = bench_daemon()
     print(
         json.dumps(
             {
@@ -131,6 +222,21 @@ def main():
                     min(rt / 1000.0, fps_e2e / 100.0), 3),
                 "search_files_per_s": round(fps, 1),
                 "search_files_per_s_e2e": round(fps_e2e, 1),
+                # single-stream real-time margin (round-2 verdict #1):
+                # sync = one device round trip per frame (honest tunnel
+                # floor); pipelined = depth-16 dispatch pipeline, the
+                # shipping soft-RT mode (+85 ms reported latency @48k)
+                "stream_sync_ms_per_block": {
+                    str(b): round(v[0], 2) for b, v in sync.items()},
+                "stream_sync_xrt": {
+                    str(b): round(v[1], 3) for b, v in sync.items()},
+                "stream_pipelined_xrt_block256": round(pipe_xrt, 2),
+                "stream_pipelined_p99_ms": round(pipe_p99, 2),
+                "stream_pipeline_extra_latency_ms": round(
+                    pipe_extra_ms, 1),
+                "daemon_rtt_ms_block256": round(rtt_ms, 2),
+                "daemon_xrt_block256": round(rtt_xrt, 2),
+                "daemon_rtt_p99_ms": round(rtt_p99, 2),
                 "platform": platform,
                 "reps": REPS,
                 "iters": ITERS,

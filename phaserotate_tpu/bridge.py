@@ -89,7 +89,7 @@ class _Session:
     layer itself accepts any number of clients concurrently."""
 
     def __init__(self, rate: int, channels: int, meters: bool,
-                 engine_lock: threading.Lock):
+                 engine_lock: threading.Lock, pipeline: int = 0):
         from .hostapp import StandaloneHost
 
         if channels not in (1, 2):
@@ -99,7 +99,8 @@ class _Session:
         self.channels = channels
         self.lock = engine_lock
         with engine_lock:  # plugin instantiate compiles on-device code
-            self.host = StandaloneHost(rate, channels, block=MAX_FRAMES)
+            self.host = StandaloneHost(rate, channels, block=MAX_FRAMES,
+                                       pipeline=pipeline)
         self.plugin = self.host.plugin
         self.meters = meters
         if meters:
@@ -125,7 +126,7 @@ class _Session:
 
 
 def _handle(conn: socket.socket, meters: bool,
-            engine_lock: threading.Lock) -> None:
+            engine_lock: threading.Lock, pipeline: int = 0) -> None:
     if struct.unpack("<I", _recv_exact(conn, 4))[0] != MAGIC:
         _send_msg(conn, T_ERR, b"bad magic")
         return
@@ -137,7 +138,8 @@ def _handle(conn: socket.socket, meters: bool,
         if mtype == T_INIT:
             try:
                 rate, channels = struct.unpack("<II", payload)
-                session = _Session(rate, channels, meters, engine_lock)
+                session = _Session(rate, channels, meters, engine_lock,
+                                   pipeline=pipeline)
             except Exception as e:  # validation error -> report, drop
                 _send_msg(conn, T_ERR, str(e).encode())
                 return
@@ -178,12 +180,12 @@ def _handle(conn: socket.socket, meters: bool,
 
 
 def _client_loop(conn: socket.socket, meters: bool,
-                 engine_lock: threading.Lock) -> None:
+                 engine_lock: threading.Lock, pipeline: int = 0) -> None:
     """Run one connection to completion with the per-client error
     containment the daemon guarantees: a bad or dead client is reported
     (when possible), dropped, and never takes the daemon down."""
     try:
-        _handle(conn, meters, engine_lock)
+        _handle(conn, meters, engine_lock, pipeline)
     except (ConnectionError, socket.timeout):
         pass  # dead/silent client: drop quietly, keep serving others
     except Exception as e:  # a bad client must never kill the daemon
@@ -198,7 +200,8 @@ def _client_loop(conn: socket.socket, meters: bool,
 
 def serve(path: str, once: bool = False, meters: bool = False,
           ready_fd: Optional[int] = None,
-          timeout: Optional[float] = 600.0) -> None:
+          timeout: Optional[float] = 600.0,
+          pipeline: int = 0) -> None:
     """Serve plugin sessions on a Unix socket at ``path``.
 
     Accepts any number of concurrent clients — one plugin instance per
@@ -208,7 +211,10 @@ def serve(path: str, once: bool = False, meters: bool = False,
     be).  ``once`` exits after the first connection closes (test
     harness); ``ready_fd`` gets a byte written once listening (race-free
     subprocess startup); ``timeout`` (seconds) drops a connected client
-    that goes silent so its thread doesn't linger forever.
+    that goes silent so its thread doesn't linger forever; ``pipeline``
+    enables depth-N dispatch pipelining in every hosted plugin (extra
+    N*parsiz frames of reported latency, real-time margin independent of
+    the device round-trip — stream/host.py module docstring).
     """
     try:
         os.unlink(path)
@@ -227,10 +233,11 @@ def serve(path: str, once: bool = False, meters: bool = False,
             if timeout is not None:
                 conn.settimeout(timeout)
             if once:
-                _client_loop(conn, meters, engine_lock)
+                _client_loop(conn, meters, engine_lock, pipeline)
                 return
             threading.Thread(
-                target=_client_loop, args=(conn, meters, engine_lock),
+                target=_client_loop,
+                args=(conn, meters, engine_lock, pipeline),
                 daemon=True).start()
     finally:
         srv.close()
@@ -308,6 +315,10 @@ def main(argv=None) -> int:
     ap.add_argument("--timeout", type=float, default=600.0,
                     help="drop a client silent for this many seconds "
                          "(0 = never)")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="dispatch-pipeline depth in frames (adds "
+                         "N*parsiz reported latency; makes per-block "
+                         "cost independent of device round-trip)")
     ap.add_argument("--ready-fd", type=int, default=None,
                     help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
@@ -315,7 +326,8 @@ def main(argv=None) -> int:
           file=sys.stderr)
     serve(args.socket, once=args.once, meters=args.meters,
           ready_fd=args.ready_fd,
-          timeout=args.timeout if args.timeout > 0 else None)
+          timeout=args.timeout if args.timeout > 0 else None,
+          pipeline=args.pipeline)
     return 0
 
 

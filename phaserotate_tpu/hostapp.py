@@ -31,12 +31,15 @@ __all__ = ["main", "StandaloneHost"]
 class StandaloneHost:
     """Owns one plugin instance with fully wired ports."""
 
-    def __init__(self, rate: int, channels: int, block: int = 256):
+    def __init__(self, rate: int, channels: int, block: int = 256,
+                 pipeline: int = 0):
         if channels > 2:
             raise ValueError("standalone host supports mono or stereo")
         self.desc = descriptor_for_channels(channels)
         self.block = block
-        self.plugin = PhaseRotatePlugin(self.desc.uri, rate)
+        self.plugin = PhaseRotatePlugin(
+            self.desc.uri, rate,
+            options={"pipeline": pipeline} if pipeline else None)
         self.control: List = []
         self.notify: List = []
         self.latency = np.zeros(1, np.float32)
@@ -85,6 +88,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="live terminal meters while processing")
     ap.add_argument("--realtime", action="store_true",
                     help="pace processing at 1x realtime")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="dispatch-pipeline depth in frames (adds "
+                         "N*parsiz latency, hides device round-trip)")
     ap.add_argument("--ui", action="store_true",
                     help="interactive terminal UI: turn the dial while "
                          "the audio streams (loops the file; q quits)")
@@ -93,7 +99,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     audio, rate, meta = read_audio(args.infile)
     channels = min(audio.shape[0], 2)
     audio = audio[:channels]
-    host = StandaloneHost(rate, channels, args.block)
+    host = StandaloneHost(rate, channels, args.block,
+                          pipeline=args.pipeline)
     host.set_angles(args.angle)
 
     if args.ui:

@@ -16,6 +16,12 @@ overlap-add convolution engine (src/phaserotate.c:615-662):
   gone because overlap-add is associative.
 
 Both compute the full linear convolution and agree to float32 roundoff.
+
+``partitioned_convolve`` is jitted at this level: besides fusing, this
+keeps its complex-valued intermediates inside compiled programs — the
+experimental remote-TPU backend rejects some *eager* complex ops
+(observed: broadcast_in_dim after a Pallas launch), and callers
+shouldn't depend on eager complex support anyway.
 """
 
 from __future__ import annotations
@@ -58,6 +64,10 @@ def _frame(x: jnp.ndarray, parsiz: int) -> jnp.ndarray:
     return x.reshape(*x.shape[:-1], n_frames, parsiz)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("parsiz",))
 def partitioned_convolve(
     x: jnp.ndarray,
     fir_spectra: jnp.ndarray,

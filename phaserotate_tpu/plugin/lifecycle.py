@@ -30,8 +30,8 @@ from ..meter import (
     meter_falloff,
     reset_peaks,
 )
-from ..stream.engine import init_state
-from ..stream.host import advance_stream
+from ..stream.engine import host_angle_step, init_state
+from ..stream.host import OutputPipeline, advance_stream
 from .protocol import LevelsMsg, Message, ResetPeaks, StateMsg, UiOff, UiOn
 from .uris import (
     MAX_CHANNELS,
@@ -65,7 +65,16 @@ class PhaseRotatePlugin:
 
         self.rate = float(rate)
         self.geom = stream_geometry_for_rate(rate)
-        self.latency = self.geom.latency
+
+        # dispatch pipelining (stream/host.py module docstring): trade
+        # `pipeline` frames of extra latency for per-block readbacks
+        # that always have pipeline-depth slack — the soft-real-time
+        # mode for high-dispatch-latency (remote/tunnel) devices
+        self.pipeline_depth = 0
+        if options and "pipeline" in options:
+            self.pipeline_depth = max(0, int(options["pipeline"]))
+        self.latency = (self.geom.latency
+                        + self.pipeline_depth * self.geom.parsiz)
 
         self.ui_scale = 1.0
         if options and "ui_scale" in options:
@@ -101,6 +110,12 @@ class PhaseRotatePlugin:
         self._offset = 0
         self._cur_in = np.zeros((self.n_chn, parsiz), np.float32)
         self._cur_out = np.zeros((self.n_chn, parsiz), np.float32)
+        self._pipe = (OutputPipeline(self.pipeline_depth, self.n_chn,
+                                     parsiz)
+                      if self.pipeline_depth > 0 else None)
+        # host-side shadow of the device angle carry (negated turns) —
+        # the pipelined path must not read device state synchronously
+        self._angle_shadow = np.zeros(self.n_chn, np.float32)
 
     def connect_port(self, port: int, data) -> None:
         """src/phaserotate.c:409-448."""
@@ -195,15 +210,24 @@ class PhaseRotatePlugin:
                      for c in range(n_chn)]  # raw input (pre-process)
 
         target_turns = np.asarray(degrees_to_turns(target_deg))
-        angle_now = np.asarray(self._state.angle)  # one batched readback
+        if self._pipe is None:
+            angle_now = np.asarray(self._state.angle)  # one readback
+        else:
+            angle_now = self._angle_shadow  # no synchronous device read
         angle_changed = target_turns != angle_now
 
         # block staging identical to the reference's offset bookkeeping,
         # shared with StreamingRotator (stream/host.advance_stream)
+        offset_before = self._offset
         x_in = np.stack([self._out[c][:n] for c in range(n_chn)])
         self._state, self._offset, y_out = advance_stream(
             self._state, self._cur_in, self._cur_out, self._offset,
-            x_in, target_deg, geom)
+            x_in, target_deg, geom, pipe=self._pipe)
+        if self._pipe is not None:
+            a = self._angle_shadow
+            for _ in range((offset_before + n) // geom.parsiz):
+                a = host_angle_step(a, target_turns, geom)
+            self._angle_shadow = a
         for c in range(n_chn):
             self._out[c][:n] = y_out[c]
 

@@ -5,8 +5,17 @@ TTL (lv2ttl/phaserotate.ports.in, phaserotate.mono.in, phaserotate.
 stereo.in, manifest.ttl.in): the same port declarations — atom
 control/notify with 4096-byte minimum size, reportsLatency control output
 bounded at 8192, per-channel angle ControlPort -180..180 default 0 with 9
-scalePoints and 721 rangeSteps, audio in/out pairs — and the
-hardRTCapable/urid:map feature lines.
+scalePoints and 721 rangeSteps, audio in/out pairs — and the urid:map
+feature line.
+
+Unlike the reference (lv2ttl/phaserotate.ports.in:7) the bundle does NOT
+declare ``lv2:hardRTCapable``: the shipped binary is the socket shim
+(native/prt_lv2.cc) whose run() blocks on an engine round trip — a
+bounded soft-real-time path when the daemon runs with ``--pipeline N``
+(see stream/host.py), but not the allocation-free lock-free hard-RT
+contract the feature promises.  Claiming it would be a lie to the host's
+scheduler; the honest latency/throughput figures live in bench.py's
+streaming benchmark instead.
 """
 
 from __future__ import annotations
@@ -108,7 +117,6 @@ def plugin_ttl(version_minor: int = 0, version_micro: int = 0) -> str:
 	a lv2:Plugin, lv2:PhaserPlugin, doap:Project ;
 	doap:license <http://usefulinc.com/doap/licenses/gpl> ;
 	doap:name "{label}" ;
-	lv2:optionalFeature lv2:hardRTCapable ;
 	lv2:requiredFeature urid:map ;
 	lv2:minorVersion {version_minor} ;
 	lv2:microVersion {version_micro} ;

@@ -35,6 +35,7 @@ from ..core.sizes import StreamGeometry, stream_geometry_for_rate
 __all__ = [
     "StreamState",
     "init_state",
+    "host_angle_step",
     "stream_step",
     "stream_step_batched",
     "stream_process",
@@ -112,6 +113,35 @@ def _angle_step(
         angle,
     )
     return new_angle, jnp.where(interpolating, da, 0.0), interpolating
+
+
+def host_angle_step(angle: "np.ndarray", target: "np.ndarray",
+                    geom: StreamGeometry) -> "np.ndarray":
+    """Numpy twin of :func:`_angle_step` (same float32 arithmetic).
+
+    The pipelined plugin shell tracks the per-block angle recursion on
+    the host so it never has to read ``state.angle`` back from the
+    device mid-stream (a synchronous round trip that would defeat the
+    dispatch pipeline).  Only feeds the metering ``angle_changed``
+    flag (src/phaserotate.c:497-509); the device keeps its own carry.
+    """
+    import numpy as np
+
+    angle = np.asarray(angle, np.float32)
+    target = np.asarray(target, np.float32)
+    da = (target - angle).astype(np.float32)
+    da = np.where(np.abs(da) > np.float32(0.5),
+                  (da - np.sign(da) * np.float32(1.0)).astype(np.float32),
+                  da)
+    da = (da * np.float32(geom.interp_nm)).astype(np.float32)
+    thresh = np.float32(geom.interp_th)
+    clipped = np.abs(da) > thresh
+    da = np.clip(da, -thresh, thresh).astype(np.float32)
+    interpolating = target != angle
+    stepped = (angle + da * np.float32(geom.parsiz)).astype(np.float32)
+    return np.where(interpolating,
+                    np.where(clipped, stepped, target),
+                    angle).astype(np.float32)
 
 
 def _mix_apply(

@@ -9,10 +9,24 @@ reference's offset bookkeeping.  Output always lags input by
 
 This is the host-side (numpy) shell around the jitted device engine —
 equivalent in role to the LV2 run() glue, with the DSP on TPU.
+
+Pipelined mode (``pipeline_depth > 0``): the synchronous shell forces a
+device→host readback per completed frame, so its real-time margin is
+bounded by the dispatch round-trip — ~0.1 ms on a locally attached TPU,
+but tens of ms through a remote tunnel, where per-frame readback cannot
+hold a 5.3 ms budget (parsiz 256 @ 48 kHz).  Enqueueing is asynchronous
+and cheap (~10 µs), and transfers started with ``copy_to_host_async``
+overlap with later dispatches; so with a depth-``D`` output pipeline the
+shell emits the output of frame ``j-D`` while frame ``j`` computes,
+and every readback it performs has had ``D`` frames of slack to land.
+Cost: ``D·parsiz`` samples of extra (reported) latency.  ``D = 0`` is
+bit-identical to the synchronous contract; ``D > 0`` emits the same
+stream delayed by exactly ``D·parsiz`` samples (parity-tested).
 """
 
 from __future__ import annotations
 
+import collections
 from typing import Optional, Sequence
 
 import numpy as np
@@ -20,10 +34,38 @@ import numpy as np
 from ..core.sizes import StreamGeometry, stream_geometry_for_rate
 from .engine import init_state, stream_process_batched, stream_step_batched
 
-__all__ = ["StreamingRotator", "advance_stream"]
+__all__ = ["StreamingRotator", "advance_stream", "OutputPipeline"]
 
 
-def advance_stream(state, cur_in, cur_out, offset, x, degs, geom):
+class OutputPipeline:
+    """Depth-``D`` output delay line of in-flight device frames.
+
+    ``push_pop(y)`` registers frame output ``y`` (device or host array,
+    shape (C, parsiz)), starts its host copy in the background, and
+    returns the frame from ``D`` pushes ago (zeros until the pipeline
+    fills).  The returned array is only ever read, never written."""
+
+    def __init__(self, depth: int, channels: int, parsiz: int):
+        if depth < 0:
+            raise ValueError(f"pipeline depth must be >= 0, got {depth}")
+        self.depth = int(depth)
+        self._zeros = np.zeros((channels, parsiz), np.float32)
+        self._pending: collections.deque = collections.deque()
+
+    def reset(self) -> None:
+        self._pending.clear()
+
+    def push_pop(self, y) -> np.ndarray:
+        if hasattr(y, "copy_to_host_async"):
+            y.copy_to_host_async()
+        self._pending.append(y)
+        if len(self._pending) > self.depth:
+            return np.asarray(self._pending.popleft())
+        return self._zeros
+
+
+def advance_stream(state, cur_in, cur_out, offset, x, degs, geom,
+                   pipe: Optional[OutputPipeline] = None):
     """The staging core shared by every host shell (StreamingRotator and
     the LV2 plugin lifecycle): advance the engine through one host block
     of ANY size, reproducing the reference's offset bookkeeping
@@ -41,6 +83,10 @@ def advance_stream(state, cur_in, cur_out, offset, x, degs, geom):
       offset: current intra-frame position.
       x: (C, n) float32 input block.
       degs: (C,) float32 target angles for this block.
+      pipe: optional :class:`OutputPipeline`; when given, the per-frame
+        path keeps outputs on device and emits them ``pipe.depth``
+        frames later (see module docstring) instead of forcing a
+        readback per frame.
 
     Returns ``(state, offset, out)`` with out shaped like ``x``.
     """
@@ -56,6 +102,15 @@ def advance_stream(state, cur_in, cur_out, offset, x, degs, geom):
                 channels, k, parsiz)
             state, ys = stream_process_batched(state, frames, degs, geom)
             ys = np.asarray(ys)
+            if pipe is not None:
+                # bulk calls have k frames of budget: one synchronous
+                # readback, then frame-wise delay-line bookkeeping
+                for i in range(k):
+                    out[:, pos + i * parsiz : pos + (i + 1) * parsiz] = \
+                        cur_out
+                    cur_out[:] = pipe.push_pop(ys[:, i])
+                pos += k * parsiz
+                continue
             # direct slice writes: no intermediate block-sized buffer in
             # the latency-sensitive loop
             out[:, pos : pos + parsiz] = cur_out
@@ -72,7 +127,10 @@ def advance_stream(state, cur_in, cur_out, offset, x, degs, geom):
         if offset == parsiz:
             offset = 0
             state, y = stream_step_batched(state, cur_in, degs, geom)
-            cur_out[:] = np.asarray(y)
+            if pipe is not None:
+                cur_out[:] = pipe.push_pop(y)
+            else:
+                cur_out[:] = np.asarray(y)
     return state, offset, out
 
 
@@ -93,15 +151,18 @@ class StreamingRotator:
         rate: float = 48000.0,
         channels: int = 1,
         geom: Optional[StreamGeometry] = None,
+        pipeline_depth: int = 0,
     ):
         self.geom = geom or stream_geometry_for_rate(rate)
         self.channels = channels
+        self.pipeline_depth = int(pipeline_depth)
         self.reset()
 
     @property
     def latency(self) -> int:
-        """Samples of output delay (src/phaserotate.c:297, 788)."""
-        return self.geom.latency
+        """Samples of output delay (src/phaserotate.c:297, 788), plus the
+        dispatch pipeline's delay when pipelining is on."""
+        return self.geom.latency + self.pipeline_depth * self.geom.parsiz
 
     def reset(self) -> None:
         """activate() semantics: clear all streaming state
@@ -114,6 +175,9 @@ class StreamingRotator:
         self._offset = 0
         self._cur_in = np.zeros((self.channels, parsiz), np.float32)
         self._cur_out = np.zeros((self.channels, parsiz), np.float32)
+        self._pipe = (OutputPipeline(self.pipeline_depth, self.channels,
+                                     parsiz)
+                      if self.pipeline_depth > 0 else None)
 
     def process(self, block: np.ndarray, degrees) -> np.ndarray:
         """Process one host block.
@@ -137,5 +201,5 @@ class StreamingRotator:
 
         self._state, self._offset, out = advance_stream(
             self._state, self._cur_in, self._cur_out, self._offset,
-            x, degs, self.geom)
+            x, degs, self.geom, pipe=self._pipe)
         return out[0] if squeeze else out

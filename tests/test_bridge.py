@@ -419,3 +419,41 @@ def test_native_bridge_pcm24_mono(daemon, native_built, tmp_path, rng):
     y, _, _ = read_wav(str(dst))
     x24, _, _ = read_wav(str(src))
     np.testing.assert_allclose(y[0], x24[0], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def daemon_pipelined(tmp_path_factory):
+    sock = str(tmp_path_factory.mktemp("bridgep") / "engine.sock")
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge",
+         "--socket", sock, "--ready-fd", str(w), "--pipeline", "4"],
+        pass_fds=(w,), cwd=REPO,
+        stderr=subprocess.DEVNULL)
+    os.close(w)
+    assert os.read(r, 1) == b"R", "daemon failed to start"
+    os.close(r)
+    yield sock
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def test_daemon_pipelined_latency_and_stream(daemon_pipelined, daemon, rng):
+    """A --pipeline 4 daemon reports latency 4*parsiz above the plain
+    daemon's and streams the identical signal delayed by exactly that."""
+    rate = 48000
+    cl0 = BridgeClient(daemon, rate, 1)
+    cl1 = BridgeClient(daemon_pipelined, rate, 1)
+    extra = 4 * cl0.parsiz
+    assert cl1.latency == cl0.latency + extra
+    x = (rng.standard_normal((1, 8 * cl0.parsiz)) * 0.5).astype(np.float32)
+    blocks = []
+    for cl in (cl0, cl1):
+        outs = [cl.process(x[:, i * 512 : (i + 1) * 512], 35.0)
+                for i in range(x.shape[1] // 512)]
+        blocks.append(np.concatenate(outs, axis=1))
+        cl.close()
+    y0, y1 = blocks
+    np.testing.assert_array_equal(y1[:, :extra], 0.0)
+    np.testing.assert_array_equal(
+        y1[:, extra:], y0[:, : y0.shape[1] - extra])

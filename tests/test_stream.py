@@ -317,3 +317,94 @@ def test_streaming_fuzz_block_sizes(rng):
         np.testing.assert_array_equal(got, want)
 
     run()
+
+
+# ---- pipelined dispatch mode (stream/host.py OutputPipeline) ----------
+
+
+@pytest.mark.parametrize("depth", [1, 4, 16])
+def test_pipelined_rotator_is_exact_delay(rng, depth):
+    """Depth-D pipelining emits the identical stream delayed by exactly
+    D*parsiz samples (the advertised latency increase), for any mix of
+    host block sizes (per-frame and bulk paths)."""
+    x = (rng.standard_normal((depth + 24) * GEOM.parsiz + 37)
+         * 0.5).astype(np.float32)
+    blocks = [64, 700, 3 * GEOM.parsiz, 129, 2048]
+
+    def run(rot):
+        outs, pos = [], 0
+        bi = 0
+        while pos < len(x):
+            n = min(blocks[bi % len(blocks)], len(x) - pos)
+            bi += 1
+            outs.append(rot.process(x[pos : pos + n], 35.0))
+            pos += n
+        return np.concatenate(outs)
+
+    base = StreamingRotator(geom=GEOM)
+    piped = StreamingRotator(geom=GEOM, pipeline_depth=depth)
+    d = depth * GEOM.parsiz
+    assert piped.latency == base.latency + d
+    y0 = run(base)
+    y1 = run(piped)
+    np.testing.assert_array_equal(y1[:d], 0.0)
+    np.testing.assert_array_equal(y1[d:], y0[: len(y0) - d])
+
+
+def test_pipelined_rotator_angle_ramp_parity(rng):
+    """Mid-stream angle changes ride the same ramp: the pipelined output
+    is still the exact delayed image of the synchronous one."""
+    parsiz = GEOM.parsiz
+    x = (rng.standard_normal(10 * parsiz) * 0.5).astype(np.float32)
+    depth = 3
+
+    def run(rot):
+        outs = []
+        for k in range(10):
+            deg = 0.0 if k < 3 else (90.0 if k < 6 else -120.0)
+            outs.append(rot.process(x[k * parsiz : (k + 1) * parsiz], deg))
+        return np.concatenate(outs)
+
+    y0 = run(StreamingRotator(geom=GEOM))
+    y1 = run(StreamingRotator(geom=GEOM, pipeline_depth=depth))
+    d = depth * parsiz
+    np.testing.assert_array_equal(y1[d:], y0[: len(y0) - d])
+
+
+def test_host_angle_step_matches_device(rng):
+    """The numpy shadow recursion (engine.host_angle_step) tracks the
+    device angle carry: within 1 ulp mid-ramp (XLA may fuse the ramp
+    multiply-add) and *bit-exact once converged* — the converged case is
+    what the metering angle_changed flag depends on (a persistent
+    mismatch there would re-trigger delayed meter resets forever)."""
+    from phaserotate_tpu.stream.engine import (
+        host_angle_step,
+        init_state,
+        stream_step_batched,
+    )
+
+    state = init_state(GEOM, (1,))
+    shadow = np.zeros(1, np.float32)
+    frame = np.zeros((1, GEOM.parsiz), np.float32)
+    from phaserotate_tpu.core.angles import degrees_to_turns
+
+    # ramps long enough that each target is eventually reached exactly
+    plan = ([0.0] + [179.5] * 3 + [-179.5] * 3 + [10.0] * 600
+            + [10.0001] * 3 + [-170.0] * 600)
+    for i, deg in enumerate(plan):
+        tgt = np.full(1, deg, np.float32)
+        state, _ = stream_step_batched(state, frame, tgt, GEOM)
+        target_turns = np.asarray(degrees_to_turns(tgt))
+        shadow = host_angle_step(shadow, target_turns, GEOM)
+        # mid-ramp: within a few ulp of the device carry (XLA fuses the
+        # ramp multiply-add; under jit degrees_to_turns may also
+        # canonicalize to multiply-by-reciprocal, 1 ulp off the eager
+        # division — so the two recursions converge to targets 1 ulp
+        # apart, which the plugin never observes: its angle_changed
+        # flag compares the shadow against the *eagerly computed*
+        # target, the same value the shadow snaps to)
+        np.testing.assert_allclose(
+            shadow, np.asarray(state.angle), atol=2e-7)
+    # after a long steady ramp the shadow must equal the eager target
+    # EXACTLY — that is the plugin's no-spurious-meter-reset invariant
+    np.testing.assert_array_equal(shadow, target_turns)
