@@ -77,6 +77,54 @@ def _send_msg(conn: socket.socket, mtype: int, payload: bytes = b"") -> None:
     conn.sendall(struct.pack("<II", mtype, len(payload)) + payload)
 
 
+class _SessionSurface:
+    """gui/web.py surface over one daemon client session (the contract
+    documented on gui.web.HostSurface)."""
+
+    def __init__(self, session: "_Session", sid: int):
+        self._s = session
+        self.label = (f"client #{sid}")
+        self.channels = session.channels
+
+    def snapshot(self) -> dict:
+        s = self._s
+        ui = s.host.ui
+        return {
+            "label": self.label,
+            "channels": s.channels,
+            "rate": s.rate,
+            "link": ui.link.active,
+            "ui_scale": ui.ui_scale,
+            "angles": [d.value for d in ui.dials],
+            "meters": [vars(m).copy() for m in ui.meters],
+        }
+
+    def _arm_override(self) -> None:
+        s = self._s
+        s.ui_override = [float(s.host.angles[c][0])
+                         for c in range(s.channels)]
+        s._override_base = None  # adopt the next PROC's angles as base
+
+    def set_dial(self, chn: int, degrees: float) -> None:
+        self._s.host.ui.dials[chn].set_value(float(degrees))
+        self._arm_override()
+
+    def scroll_dial(self, chn: int, steps: int) -> None:
+        self._s.host.ui.dials[chn].scroll(int(steps))
+        self._arm_override()
+
+    def set_link(self, active: bool) -> None:
+        self._s.host.ui.set_link(bool(active))
+        if active:
+            self._arm_override()
+
+    def reset_peaks(self) -> None:
+        self._s.host.ui.click_meter()
+
+    def set_scale(self, scale: float) -> None:
+        self._s.host.ui.set_scale(float(scale))
+
+
 class _Session:
     """One connection = one fully-wired plugin host (reuses
     hostapp.StandaloneHost for the port wiring and run staging; this
@@ -89,7 +137,8 @@ class _Session:
     layer itself accepts any number of clients concurrently."""
 
     def __init__(self, rate: int, channels: int, meters: bool,
-                 engine_lock: threading.Lock, pipeline: int = 0):
+                 engine_lock: threading.Lock, pipeline: int = 0,
+                 web_ui: bool = False):
         from .hostapp import StandaloneHost
 
         if channels not in (1, 2):
@@ -97,13 +146,21 @@ class _Session:
         if not (8000 <= rate <= 768000):
             raise ValueError(f"implausible sample rate {rate}")
         self.channels = channels
+        self.rate = rate
         self.lock = engine_lock
         with engine_lock:  # plugin instantiate compiles on-device code
             self.host = StandaloneHost(rate, channels, block=MAX_FRAMES,
                                        pipeline=pipeline)
         self.plugin = self.host.plugin
         self.meters = meters
-        if meters:
+        self.web_ui = web_ui
+        # browser-dial override (gui/web.py): the reference UI writes
+        # the host's angle port (gui/phaserotate.c:856); across the
+        # daemon split the web dial instead overrides the client's PROC
+        # angles until the client itself moves them (latest writer wins)
+        self.ui_override = None
+        self._override_base = None
+        if meters or web_ui:
             from .plugin.protocol import UiOn
 
             self.host.control.append(UiOn())
@@ -111,6 +168,14 @@ class _Session:
     def process(self, n: int, angles: np.ndarray,
                 samples: np.ndarray) -> Tuple[np.ndarray, Optional[list]]:
         x = samples.reshape(n, self.channels).T
+        if self.ui_override is not None:
+            if self._override_base is None:
+                self._override_base = angles.copy()
+            if np.array_equal(angles, self._override_base):
+                angles = np.asarray(self.ui_override, np.float32)
+            else:  # client moved its own dial/automation: it wins
+                self.ui_override = None
+                self._override_base = None
         for c in range(self.channels):
             self.host.angles[c][0] = angles[c]
         with self.lock:  # serialize device dispatch across clients
@@ -122,11 +187,18 @@ class _Session:
             levels = [m for m in self.host.notify
                       if isinstance(m, LevelsMsg)]
             self.host.notify.clear()
+        if self.web_ui:
+            # mirror into the browser surface: dial display follows the
+            # effective angles; levels land in ui.meters
+            self.host.ui.sync_dials()
+            self.host.ui.poll()
         return out.T.reshape(-1).astype(np.float32), levels
 
 
 def _handle(conn: socket.socket, meters: bool,
-            engine_lock: threading.Lock, pipeline: int = 0) -> None:
+            engine_lock: threading.Lock, pipeline: int = 0,
+            registry: Optional[dict] = None,
+            sid_out: Optional[list] = None) -> None:
     if struct.unpack("<I", _recv_exact(conn, 4))[0] != MAGIC:
         _send_msg(conn, T_ERR, b"bad magic")
         return
@@ -139,7 +211,12 @@ def _handle(conn: socket.socket, meters: bool,
             try:
                 rate, channels = struct.unpack("<II", payload)
                 session = _Session(rate, channels, meters, engine_lock,
-                                   pipeline=pipeline)
+                                   pipeline=pipeline,
+                                   web_ui=registry is not None)
+                if registry is not None:
+                    sid = _register_session(registry, session)
+                    if sid_out is not None:
+                        sid_out.append(str(sid))
             except Exception as e:  # validation error -> report, drop
                 _send_msg(conn, T_ERR, str(e).encode())
                 return
@@ -179,13 +256,27 @@ def _handle(conn: socket.socket, meters: bool,
             return
 
 
+_SID_LOCK = threading.Lock()
+_SID_NEXT = [1]
+
+
+def _register_session(registry: dict, session: "_Session") -> int:
+    with _SID_LOCK:
+        sid = _SID_NEXT[0]
+        _SID_NEXT[0] += 1
+    registry[str(sid)] = _SessionSurface(session, sid)
+    return sid
+
+
 def _client_loop(conn: socket.socket, meters: bool,
-                 engine_lock: threading.Lock, pipeline: int = 0) -> None:
+                 engine_lock: threading.Lock, pipeline: int = 0,
+                 registry: Optional[dict] = None) -> None:
     """Run one connection to completion with the per-client error
     containment the daemon guarantees: a bad or dead client is reported
     (when possible), dropped, and never takes the daemon down."""
+    my_sids: list = []
     try:
-        _handle(conn, meters, engine_lock, pipeline)
+        _handle(conn, meters, engine_lock, pipeline, registry, my_sids)
     except (ConnectionError, socket.timeout):
         pass  # dead/silent client: drop quietly, keep serving others
     except Exception as e:  # a bad client must never kill the daemon
@@ -196,12 +287,16 @@ def _client_loop(conn: socket.socket, meters: bool,
         print(f"bridge: dropped client: {e!r}", file=sys.stderr)
     finally:
         conn.close()
+        if registry is not None:  # unregister this connection's session
+            for sid in my_sids:
+                registry.pop(sid, None)
 
 
 def serve(path: str, once: bool = False, meters: bool = False,
           ready_fd: Optional[int] = None,
           timeout: Optional[float] = 600.0,
-          pipeline: int = 0) -> None:
+          pipeline: int = 0,
+          ui_port: Optional[int] = None) -> None:
     """Serve plugin sessions on a Unix socket at ``path``.
 
     Accepts any number of concurrent clients — one plugin instance per
@@ -214,13 +309,23 @@ def serve(path: str, once: bool = False, meters: bool = False,
     that goes silent so its thread doesn't linger forever; ``pipeline``
     enables depth-N dispatch pipelining in every hosted plugin (extra
     N*parsiz frames of reported latency, real-time margin independent of
-    the device round-trip — stream/host.py module docstring).
+    the device round-trip — stream/host.py module docstring);
+    ``ui_port`` serves the browser GUI (gui/web.py) for every live
+    session on http://127.0.0.1:<ui_port>/ (0 = ephemeral port).
     """
     try:
         os.unlink(path)
     except FileNotFoundError:
         pass
     engine_lock = threading.Lock()
+    registry: Optional[dict] = None
+    webui = None
+    if ui_port is not None:
+        from .gui.web import WebUI
+
+        registry = {}
+        webui = WebUI(lambda: dict(registry), port=ui_port).start()
+        print(f"bridge: web UI on {webui.url}", file=sys.stderr)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     try:
         srv.bind(path)
@@ -233,13 +338,16 @@ def serve(path: str, once: bool = False, meters: bool = False,
             if timeout is not None:
                 conn.settimeout(timeout)
             if once:
-                _client_loop(conn, meters, engine_lock, pipeline)
+                _client_loop(conn, meters, engine_lock, pipeline,
+                             registry)
                 return
             threading.Thread(
                 target=_client_loop,
-                args=(conn, meters, engine_lock, pipeline),
+                args=(conn, meters, engine_lock, pipeline, registry),
                 daemon=True).start()
     finally:
+        if webui is not None:
+            webui.stop()
         srv.close()
         try:
             os.unlink(path)
@@ -319,6 +427,9 @@ def main(argv=None) -> int:
                     help="dispatch-pipeline depth in frames (adds "
                          "N*parsiz reported latency; makes per-block "
                          "cost independent of device round-trip)")
+    ap.add_argument("--ui-port", type=int, default=None,
+                    help="serve the browser GUI for live sessions on "
+                         "this port (0 = pick a free port)")
     ap.add_argument("--ready-fd", type=int, default=None,
                     help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
@@ -327,7 +438,7 @@ def main(argv=None) -> int:
     serve(args.socket, once=args.once, meters=args.meters,
           ready_fd=args.ready_fd,
           timeout=args.timeout if args.timeout > 0 else None,
-          pipeline=args.pipeline)
+          pipeline=args.pipeline, ui_port=args.ui_port)
     return 0
 
 

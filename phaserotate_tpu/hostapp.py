@@ -91,6 +91,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--pipeline", type=int, default=0,
                     help="dispatch-pipeline depth in frames (adds "
                          "N*parsiz latency, hides device round-trip)")
+    ap.add_argument("--web", type=int, default=None, metavar="PORT",
+                    help="serve the browser GUI (gui/web.py) on this "
+                         "port while processing (0 = pick a free port)")
     ap.add_argument("--ui", action="store_true",
                     help="interactive terminal UI: turn the dial while "
                          "the audio streams (loops the file; q quits)")
@@ -102,6 +105,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     host = StandaloneHost(rate, channels, args.block,
                           pipeline=args.pipeline)
     host.set_angles(args.angle)
+
+    webui = None
+    if args.web is not None:
+        from .gui.web import HostSurface, WebUI
+
+        surface = HostSurface(host)
+        webui = WebUI(lambda: {"0": surface}, port=args.web).start()
+        print(f"web UI: {webui.url}", file=sys.stderr)
 
     if args.ui:
         from .tui import run_tui
@@ -172,6 +183,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         full = stream[:, lat : lat + n]
         write_audio(args.outfile, full, rate, meta, like=args.infile)
         print(f"wrote {args.outfile} ({n} frames, latency {lat} compensated)")
+    if webui is not None:
+        webui.stop()
     return 0
 
 

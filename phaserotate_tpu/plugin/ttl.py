@@ -125,11 +125,19 @@ def plugin_ttl(version_minor: int = 0, version_micro: int = 0) -> str:
     return "".join(out)
 
 
-def manifest_ttl(binary: str = "phaserotate_tpu.so") -> str:
-    """Bundle manifest (lv2ttl/manifest.ttl.in equivalent)."""
+UI_URI = PLUGIN_URI + "#web_ui"
+
+
+def manifest_ttl(binary: str = "phaserotate_tpu.so",
+                 ui_binary: str = "prt_ui.so") -> str:
+    """Bundle manifest (lv2ttl/manifest.ttl.in + manifest.gui.in
+    equivalent): both plugin URIs plus the browser-GUI LV2UI entry
+    (native/prt_ui.cc launcher; ui:showInterface surface served by
+    gui/web.py)."""
     lines = [
         "@prefix lv2:  <http://lv2plug.in/ns/lv2core#> .",
         "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
+        "@prefix ui:   <http://lv2plug.in/ns/extensions/ui#> .",
         "",
     ]
     for uri in (PLUGIN_URI, PLUGIN_URI_STEREO):
@@ -137,17 +145,26 @@ def manifest_ttl(binary: str = "phaserotate_tpu.so") -> str:
             f"<{uri}>",
             "\ta lv2:Plugin ;",
             f"\tlv2:binary <{binary}> ;",
+            f"\tui:ui <{UI_URI}> ;",
             "\trdfs:seeAlso <phaserotate_tpu.ttl> .",
             "",
         ]
+    lines += [
+        f"<{UI_URI}>",
+        "\ta ui:UI ;",
+        f"\tui:binary <{ui_binary}> ;",
+        "\tlv2:extensionData ui:showInterface, ui:idleInterface .",
+        "",
+    ]
     return "\n".join(lines)
 
 
 def write_bundle(directory: str) -> None:
     """Write a loadable LV2 bundle: manifest.ttl, phaserotate_tpu.ttl and
-    the ``phaserotate_tpu.so`` plugin binary (the native engine-socket
-    shim, built from native/prt_lv2.cc — the manifest must never point at
-    a binary that does not exist)."""
+    the binaries it references: ``phaserotate_tpu.so`` (the native
+    engine-socket shim, native/prt_lv2.cc) and ``prt_ui.so`` (the
+    browser-GUI LV2UI launcher, native/prt_ui.cc) — the manifest must
+    never point at a binary that does not exist."""
     import os
     import shutil
     import subprocess
@@ -157,21 +174,26 @@ def write_bundle(directory: str) -> None:
     native_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), "native")
-    so = os.path.join(native_dir, "phaserotate_tpu.so")
-    if not os.path.exists(so):
+    sos = [os.path.join(native_dir, b)
+           for b in ("phaserotate_tpu.so", "prt_ui.so")]
+    if not all(os.path.exists(s) for s in sos):
         try:
-            subprocess.run(["make", "-C", native_dir, "phaserotate_tpu.so"],
-                           check=True, capture_output=True, timeout=120)
+            subprocess.run(
+                ["make", "-C", native_dir, "phaserotate_tpu.so",
+                 "prt_ui.so"],
+                check=True, capture_output=True, timeout=120)
         except Exception:
             pass
-    if not os.path.exists(so):
-        raise RuntimeError(
-            "native/phaserotate_tpu.so missing and could not be built "
-            f"(looked in {native_dir}); run `make -C native` first")
+    for s in sos:
+        if not os.path.exists(s):
+            raise RuntimeError(
+                f"{os.path.basename(s)} missing and could not be built "
+                f"(looked in {native_dir}); run `make -C native` first")
 
     os.makedirs(directory, exist_ok=True)
     with open(os.path.join(directory, "manifest.ttl"), "w") as f:
         f.write(manifest_ttl())
     with open(os.path.join(directory, "phaserotate_tpu.ttl"), "w") as f:
         f.write(plugin_ttl())
-    shutil.copy2(so, os.path.join(directory, "phaserotate_tpu.so"))
+    for s in sos:
+        shutil.copy2(s, os.path.join(directory, os.path.basename(s)))

@@ -1,0 +1,281 @@
+"""Browser GUI: live state, dial writes, link/reset semantics, the
+daemon-served surface, and the LV2UI launcher binary.
+
+The web page is the framework's peer of the reference's embedded GUI
+(gui/phaserotate.c:833-890, 1236-1309); these tests drive it through
+real HTTP against a live plugin host and against the engine daemon."""
+
+import ctypes
+import json
+import os
+import subprocess
+import sys
+import urllib.request
+
+import numpy as np
+import pytest
+
+from phaserotate_tpu.bridge import BridgeClient
+from phaserotate_tpu.gui.web import HostSurface, WebUI
+from phaserotate_tpu.hostapp import StandaloneHost
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.read()
+
+
+def _post(url, body: dict):
+    req = urllib.request.Request(url, data=json.dumps(body).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture()
+def webhost():
+    host = StandaloneHost(48000, 2, block=512)
+    surface = HostSurface(host)
+    ui = WebUI(lambda: {"0": surface}, port=0).start()
+    yield host, ui
+    ui.stop()
+
+
+def test_page_and_state(webhost, rng):
+    host, ui = webhost
+    page = _get(ui.url).decode()
+    assert "Phase Rotate (TPU)" in page and "/state" in page
+
+    x = (0.5 * rng.standard_normal((2, 512))).astype(np.float32)
+    for _ in range(12):
+        host.process(x)
+    state = json.loads(_get(ui.url + "state"))
+    s = state["sessions"]["0"]
+    assert s["channels"] == 2 and s["rate"] == 48000
+    # live meters: the input peak must reflect the signal we pushed
+    assert s["meters"][0]["in_peak"] == pytest.approx(
+        float(np.abs(x[0]).max()), abs=1e-5)
+    # rendered SVG widgets ride along for the page
+    assert all(svg.startswith("<svg") for svg in s["dial_svg"])
+    assert all("<svg" in svg for svg in s["meter_svg"])
+
+
+def test_dial_write_reaches_plugin(webhost, rng):
+    host, ui = webhost
+    _post(ui.url + "control",
+          {"action": "dial", "session": "0", "channel": 0, "value": 35.2})
+    # dial quantizes to 0.5-degree steps (gui/widgets.py DialModel)
+    assert float(host.angles[0][0]) == 35.0
+    state = json.loads(_get(ui.url + "state"))
+    assert state["sessions"]["0"]["angles"][0] == 35.0
+    # and the engine actually rotates with it
+    x = (0.5 * rng.standard_normal((2, 512))).astype(np.float32)
+    outs = [host.process(x) for _ in range(16)]
+    assert not np.allclose(np.concatenate(outs, axis=1)[0, 2048:], 0.0)
+
+
+def test_scroll_and_double_click(webhost):
+    host, ui = webhost
+    _post(ui.url + "control",
+          {"action": "scroll", "session": "0", "channel": 1, "steps": 2})
+    # wheel: step 0.5 * scroll_mult 10 per notch (gui/phaserotate.c dial)
+    assert float(host.angles[1][0]) == 10.0
+    _post(ui.url + "control",
+          {"action": "dial", "session": "0", "channel": 1, "value": 0})
+    assert float(host.angles[1][0]) == 0.0
+
+
+def test_link_mirrors_dials(webhost):
+    host, ui = webhost
+    _post(ui.url + "control",
+          {"action": "link", "session": "0", "active": True})
+    _post(ui.url + "control",
+          {"action": "dial", "session": "0", "channel": 0, "value": -42.0})
+    assert float(host.angles[0][0]) == -42.0
+    assert float(host.angles[1][0]) == -42.0  # mirrored while linked
+    state = json.loads(_get(ui.url + "state"))
+    assert state["sessions"]["0"]["link"] is True
+
+
+def test_meter_click_resets_peaks(webhost, rng):
+    host, ui = webhost
+    x = (0.5 * rng.standard_normal((2, 512))).astype(np.float32)
+    for _ in range(8):
+        host.process(x)
+    state = json.loads(_get(ui.url + "state"))
+    assert state["sessions"]["0"]["meters"][0]["in_peak"] > 0.1
+    _post(ui.url + "control", {"action": "reset", "session": "0"})
+    # the input meter reads a latency-aligned delay line
+    # (src/phaserotate.c:575-609): flush past it before checking, then
+    # reset again so the rebuilt peak of the residual signal clears too
+    for _ in range(8):
+        host.process(np.zeros((2, 512), np.float32))
+    _post(ui.url + "control", {"action": "reset", "session": "0"})
+    host.process(np.zeros((2, 512), np.float32))
+    state = json.loads(_get(ui.url + "state"))
+    assert state["sessions"]["0"]["meters"][0]["in_peak"] < 0.1
+
+
+def test_bad_requests_rejected(webhost):
+    _, ui = webhost
+    for body in ({"action": "dial", "session": "9", "channel": 0,
+                  "value": 1},
+                 {"action": "nope", "session": "0"},
+                 {"action": "dial", "session": "0"}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(ui.url + "control", body)
+        assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(ui.url + "nothere")
+    assert e.value.code == 404
+
+
+# ---- daemon-served surface ------------------------------------------------
+
+
+def _free_port() -> int:
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def ui_daemon(tmp_path_factory):
+    sock = str(tmp_path_factory.mktemp("bridgeui") / "engine.sock")
+    port = _free_port()
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge",
+         "--socket", sock, "--ready-fd", str(w),
+         "--ui-port", str(port)],
+        pass_fds=(w,), cwd=REPO, stderr=subprocess.DEVNULL)
+    os.close(w)
+    assert os.read(r, 1) == b"R", "daemon failed to start"
+    os.close(r)
+    yield sock, f"http://127.0.0.1:{port}/"
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def test_daemon_ui_lists_live_sessions(ui_daemon, rng):
+    sock, url = ui_daemon
+    assert json.loads(_get(url + "state"))["sessions"] == {}
+
+    cl = BridgeClient(sock, 48000, 1)
+    x = (0.5 * rng.standard_normal((1, 2048))).astype(np.float32)
+    for _ in range(4):
+        cl.process(x, 12.0)
+    state = json.loads(_get(url + "state"))
+    (sid, s), = state["sessions"].items()
+    assert s["channels"] == 1 and s["rate"] == 48000
+    assert s["angles"][0] == 12.0  # dial mirrors the client's angle
+    assert s["meters"][0]["in_peak"] > 0.1  # live levels
+    cl.close()
+    import time
+
+    for _ in range(50):  # session unregisters when the client leaves
+        if not json.loads(_get(url + "state"))["sessions"]:
+            break
+        time.sleep(0.1)
+    assert json.loads(_get(url + "state"))["sessions"] == {}
+
+
+def test_daemon_ui_dial_overrides_until_client_moves(ui_daemon, rng):
+    sock, url = ui_daemon
+    cl = BridgeClient(sock, 48000, 1)
+    x = (0.5 * rng.standard_normal((1, 2048))).astype(np.float32)
+    cl.process(x, 0.0)
+    (sid,) = json.loads(_get(url + "state"))["sessions"].keys()
+
+    # browser dial write: subsequent blocks rotate at 90 even though the
+    # client keeps sending 0 (ui->write equivalent across the daemon)
+    _post(url + "control",
+          {"action": "dial", "session": sid, "channel": 0, "value": 90.0})
+    for _ in range(8):  # ramp to the override target
+        out_over = cl.process(x, 0.0)
+    assert not np.allclose(out_over, cl.process(np.zeros_like(x), 0.0)[0, 0])
+    state = json.loads(_get(url + "state"))
+    assert state["sessions"][sid]["angles"][0] == 90.0
+
+    # the client moving its own angle takes the dial back
+    for _ in range(8):
+        cl.process(x, 30.0)
+    state = json.loads(_get(url + "state"))
+    assert state["sessions"][sid]["angles"][0] == 30.0
+    cl.close()
+
+
+# ---- LV2UI launcher binary ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ui_so():
+    subprocess.run(["make", "-C", NATIVE, "prt_ui.so"], check=True,
+                   capture_output=True, timeout=120)
+    return os.path.join(NATIVE, "prt_ui.so")
+
+
+def test_prt_ui_descriptor_and_show(ui_so, monkeypatch):
+    monkeypatch.setenv("PHASEROTATE_TPU_UI_NO_OPEN", "1")
+
+    class Desc(ctypes.Structure):
+        _fields_ = [
+            ("URI", ctypes.c_char_p),
+            ("instantiate", ctypes.c_void_p),
+            ("cleanup", ctypes.c_void_p),
+            ("port_event", ctypes.c_void_p),
+            ("extension_data", ctypes.c_void_p),
+        ]
+
+    lib = ctypes.CDLL(ui_so)
+    lib.lv2ui_descriptor.restype = ctypes.POINTER(Desc)
+    assert not lib.lv2ui_descriptor(1)
+    d = lib.lv2ui_descriptor(0).contents
+    assert d.URI == b"urn:phaserotate-tpu:plugin#web_ui"
+
+    inst = ctypes.CFUNCTYPE(
+        ctypes.c_void_p, ctypes.POINTER(Desc), ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p)(d.instantiate)
+    widget = ctypes.c_void_p(0xdead)
+    h = inst(lib.lv2ui_descriptor(0), b"urn:phaserotate-tpu:plugin",
+             b"/tmp", None, None, ctypes.byref(widget), None)
+    assert h and widget.value is None  # no embedded widget: browser UI
+
+    ext = ctypes.CFUNCTYPE(ctypes.c_void_p, ctypes.c_char_p)(
+        d.extension_data)
+    show_iface = ext(b"http://lv2plug.in/ns/extensions/ui#showInterface")
+    assert show_iface
+    assert ext(b"http://lv2plug.in/ns/extensions/ui#idleInterface")
+    assert not ext(b"urn:unknown")
+
+    class ShowIface(ctypes.Structure):
+        _fields_ = [("show", ctypes.c_void_p), ("hide", ctypes.c_void_p)]
+
+    si = ctypes.cast(show_iface, ctypes.POINTER(ShowIface)).contents
+    show = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p)(si.show)
+    hide = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p)(si.hide)
+    assert show(h) == 0 and hide(h) == 0 and show(h) == 0
+
+    cleanup = ctypes.CFUNCTYPE(None, ctypes.c_void_p)(d.cleanup)
+    cleanup(h)
+
+
+def test_bundle_ships_ui(tmp_path):
+    from phaserotate_tpu.plugin.ttl import manifest_ttl, write_bundle
+
+    man = manifest_ttl()
+    assert "ui:ui <urn:phaserotate-tpu:plugin#web_ui>" in man
+    assert "ui:binary <prt_ui.so>" in man
+    d = tmp_path / "bundle.lv2"
+    write_bundle(str(d))
+    assert (d / "prt_ui.so").exists()
+    assert (d / "phaserotate_tpu.so").exists()
+    assert "web_ui" in (d / "manifest.ttl").read_text()
