@@ -65,15 +65,32 @@ def bench_rotate(rate=48000, seconds=60, batch=96):
     return batch * n / dt / rate  # x realtime
 
 
+_sweep_jit = None
+
+
+def _shared_sweep(geom):
+    """ONE jitted sweep shared by the device-only and end-to-end search
+    benches — identical input shapes, so the (expensive, uncacheable on
+    the remote compile helper) XLA compile happens once, not twice."""
+    global _sweep_jit
+    if _sweep_jit is None:
+        from phaserotate_tpu.search.sweep import _sweep_impl
+
+        _sweep_jit = jax.jit(
+            lambda x, s: _sweep_impl(x + s, geom, 4096))
+    return _sweep_jit
+
+
 def bench_search(rate=48000, seconds=10, batch=512):
     from phaserotate_tpu.core.sizes import OfflineGeometry
-    from phaserotate_tpu.search.sweep import _sweep_impl
 
     geom = OfflineGeometry(blksiz=8192)
     n = rate * seconds
     rng = np.random.default_rng(1)
-    x = jnp.asarray(0.5 * rng.standard_normal((batch, n)).astype(np.float32))
-    f = jax.jit(lambda x, s: jnp.sum(_sweep_impl(x + s, geom, 4096)[0]))
+    x = jnp.asarray(
+        0.5 * rng.standard_normal((batch, 1, n)).astype(np.float32))
+    sweep = _shared_sweep(geom)
+    f = lambda x, s: jnp.sum(sweep(x, s)[0])  # noqa: E731
     dt = _medtime(f, lambda i: (x, 0.01 * i))
     return batch / dt  # files per second
 
@@ -84,14 +101,13 @@ def bench_search_e2e(rate=48000, seconds=10, batch=512):
     (cli/phase-rotate.cc:779-948 end to end)."""
     from phaserotate_tpu.core.sizes import OfflineGeometry
     from phaserotate_tpu.search.minimize import select_min_peak_angles_batch
-    from phaserotate_tpu.search.sweep import _sweep_impl
 
     geom = OfflineGeometry(blksiz=8192)
     n = rate * seconds
     rng = np.random.default_rng(2)
     x = jnp.asarray(0.5 * rng.standard_normal((batch, 1, n)).astype(
         np.float32))
-    sweep = jax.jit(lambda x, s: _sweep_impl(x + s, geom, 4096))
+    sweep = _shared_sweep(geom)
 
     def run_once(shift):
         tables, rot0 = sweep(x, shift)

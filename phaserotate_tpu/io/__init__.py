@@ -1,16 +1,35 @@
-"""Audio file I/O: WAV + AIFF read/write with metadata passthrough."""
+"""Audio file I/O: WAV, AIFF, FLAC, W64, RF64, CAF read/write with
+metadata passthrough."""
 
 from .aiff import read_aiff, write_aiff
+from .containers import (
+    read_caf,
+    read_rf64,
+    read_w64,
+    write_caf,
+    write_rf64,
+    write_w64,
+)
 from .audio import read_audio, write_audio
+from .flac import FlacFormatError, read_flac, write_flac
 from .wav import WavFormatError, WavMetadata, read_wav, write_wav
 
 __all__ = [
+    "FlacFormatError",
     "WavFormatError",
     "WavMetadata",
     "read_aiff",
     "read_audio",
+    "read_caf",
+    "read_flac",
+    "read_rf64",
+    "read_w64",
     "read_wav",
     "write_aiff",
     "write_audio",
+    "write_caf",
+    "write_flac",
+    "write_rf64",
+    "write_w64",
     "write_wav",
 ]

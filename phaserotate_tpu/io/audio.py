@@ -1,9 +1,10 @@
 """Format-dispatching audio I/O.
 
 The reference opens files through libsndfile and gets every major format
-for free (cli/phase-rotate.cc sf_open); here the two interchange formats
-mastering workflows use — WAV and AIFF — are dispatched by content
-sniffing on read and by extension on write.
+for free (cli/phase-rotate.cc sf_open); here the interchange formats
+mastering workflows actually exchange — WAV, AIFF, and FLAC — are
+dispatched by content sniffing on read and by extension on write.
+W64, RF64/BW64, and CAF ride the same dispatch (io/containers.py).
 """
 
 from __future__ import annotations
@@ -13,6 +14,18 @@ from typing import Optional, Tuple
 import numpy as np
 
 from .aiff import is_aiff, read_aiff, write_aiff
+from .containers import (
+    is_caf,
+    is_rf64,
+    is_w64,
+    read_caf,
+    read_rf64,
+    read_w64,
+    write_caf,
+    write_rf64,
+    write_w64,
+)
+from .flac import is_flac, read_flac, write_flac
 from .wav import WavFormatError, WavMetadata, read_wav, write_wav
 
 __all__ = ["read_audio", "write_audio"]
@@ -21,20 +34,40 @@ _AIFF_EXT = (".aiff", ".aif", ".aifc")
 
 
 def read_audio(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
-    """Read WAV or AIFF (sniffed by magic) -> ((ch, n) f32, rate, meta)."""
+    """Read WAV, AIFF, FLAC, W64, RF64, or CAF (sniffed by magic)
+    -> ((ch, n) f32, rate, meta)."""
     with open(path, "rb") as f:
-        head = f.read(12)
+        head = f.read(16)
     if is_aiff(head):
         return read_aiff(path)
+    if is_flac(head):
+        return read_flac(path)
+    if is_w64(head):
+        return read_w64(path)
+    if is_rf64(head):
+        return read_rf64(path)
+    if is_caf(head):
+        return read_caf(path)
     return read_wav(path)
 
 
-def _sniff_is_aiff(path: str) -> bool:
+def _sniff(path: str) -> str:
     try:
         with open(path, "rb") as f:
-            return is_aiff(f.read(12))
+            head = f.read(16)
     except OSError:
-        return False
+        return "wav"
+    if is_aiff(head):
+        return "aiff"
+    if is_flac(head):
+        return "flac"
+    if is_w64(head):
+        return "w64"
+    if is_rf64(head):
+        return "rf64"
+    if is_caf(head):
+        return "caf"
+    return "wav"
 
 
 def write_audio(
@@ -44,16 +77,25 @@ def write_audio(
     meta: Optional[WavMetadata] = None,
     like: Optional[str] = None,
 ) -> None:
-    """Write by output extension (.aiff/.aif/.aifc -> AIFF, .wav -> WAV);
-    with no recognizable extension, follow the format of ``like`` (the
-    input file, sniffed by CONTENT like the read path — an extension-less
-    AIFF input keeps producing AIFF) the way the reference's write path
+    """Write by output extension (.aiff/.aif/.aifc -> AIFF, .flac ->
+    FLAC, .w64 -> W64, .rf64 -> RF64, .caf -> CAF, .wav -> WAV); with no
+    recognizable extension, follow the format of ``like`` (the input
+    file, sniffed by CONTENT like the read path — an extension-less AIFF
+    input keeps producing AIFF) the way the reference's write path
     inherits the input's major format."""
     lower = path.lower()
-    if lower.endswith(_AIFF_EXT) or (
-        not lower.endswith(".wav") and like is not None
-        and _sniff_is_aiff(like)
-    ):
+    known = lower.endswith(
+        (".wav",) + _AIFF_EXT + (".flac", ".w64", ".rf64", ".caf"))
+    inherited = "" if known or like is None else _sniff(like)
+    if lower.endswith(_AIFF_EXT) or inherited == "aiff":
         write_aiff(path, audio, rate, meta)
-        return
-    write_wav(path, audio, rate, meta)
+    elif lower.endswith(".flac") or inherited == "flac":
+        write_flac(path, audio, rate, meta)
+    elif lower.endswith(".w64") or inherited == "w64":
+        write_w64(path, audio, rate, meta)
+    elif lower.endswith(".rf64") or inherited == "rf64":
+        write_rf64(path, audio, rate, meta)
+    elif lower.endswith(".caf") or inherited == "caf":
+        write_caf(path, audio, rate, meta)
+    else:
+        write_wav(path, audio, rate, meta)

@@ -1,0 +1,228 @@
+"""FLAC codec: roundtrips, spec conformance details, decoder breadth,
+CLI/dispatch integration (reference parity: cli/phase-rotate.cc:33 reads
+FLAC through libsndfile)."""
+
+import numpy as np
+import pytest
+
+from phaserotate_tpu.io import (
+    FlacFormatError,
+    WavMetadata,
+    read_audio,
+    read_flac,
+    write_audio,
+    write_flac,
+)
+
+
+def _tone(rate=48000, seconds=0.5, ch=2, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(rate * seconds)) / rate
+    x = np.stack([
+        0.5 * np.sin(2 * np.pi * 440 * t) + 0.02 * rng.standard_normal(
+            t.shape),
+        0.3 * np.sin(2 * np.pi * 220 * t),
+    ][:ch]).astype(np.float32)
+    return x
+
+
+def _quant(x, bits):
+    lim = float(1 << (bits - 1))
+    return (np.clip(np.rint(x * lim), -lim, lim - 1) / lim).astype(
+        np.float32)
+
+
+@pytest.mark.parametrize("bits", [16, 24])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_roundtrip_exact(tmp_path, bits, channels):
+    """Encode -> decode reproduces the quantized samples bit-exactly
+    (FLAC is lossless)."""
+    x = _tone(ch=channels)
+    p = str(tmp_path / "t.flac")
+    write_flac(p, x, 48000, bits=bits)
+    y, rate, _ = read_flac(p)
+    assert rate == 48000 and y.shape == x.shape
+    np.testing.assert_array_equal(y, _quant(x, bits))
+
+
+def test_compression_actually_compresses(tmp_path):
+    """Tonal audio must come out well under the raw PCM size (the
+    encoder uses real fixed-predictor + Rice coding, not verbatim)."""
+    import os
+
+    x = _tone(seconds=1.0)
+    p = str(tmp_path / "t.flac")
+    write_flac(p, x, 48000)
+    assert os.path.getsize(p) < 0.75 * x.size * 2
+
+
+def test_metadata_roundtrip(tmp_path):
+    """INFO strings travel as Vorbis comments and back."""
+    meta = WavMetadata()
+    meta.info[b"INAM"] = "sweep"
+    meta.info[b"IART"] = "unit test"
+    p = str(tmp_path / "t.flac")
+    write_flac(p, _tone(seconds=0.1), 48000, meta)
+    _, _, m = read_flac(p)
+    assert m.info[b"INAM"] == "sweep"
+    assert m.info[b"IART"] == "unit test"
+    assert m.container == "FLAC"
+
+
+def test_odd_length_and_short_files(tmp_path):
+    """Final short frame (16-bit blocksize header path) and files
+    shorter than one block."""
+    for n in (4096 * 2 + 123, 100, 1):
+        x = _tone(seconds=1.0)[:, :n]
+        p = str(tmp_path / "t.flac")
+        write_flac(p, x, 48000)
+        y, _, _ = read_flac(p)
+        np.testing.assert_array_equal(y, _quant(x, 16))
+
+
+def test_constant_and_silence_subframes(tmp_path):
+    """Silence and DC blocks take the CONSTANT path."""
+    import os
+
+    x = np.zeros((1, 9000), np.float32)
+    x[0, 4096:8192] = 0.25
+    p = str(tmp_path / "t.flac")
+    write_flac(p, x, 48000)
+    y, _, _ = read_flac(p)
+    np.testing.assert_array_equal(y, _quant(x, 16))
+    assert os.path.getsize(p) < 1000  # constant frames are tiny
+
+
+def test_corruption_detected(tmp_path):
+    """A flipped bit in a frame body must fail the CRC-16 check, and a
+    bad magic must be rejected."""
+    p = str(tmp_path / "t.flac")
+    write_flac(p, _tone(seconds=0.2), 48000)
+    data = bytearray(open(p, "rb").read())
+    data[-40] ^= 0x10  # inside the last frame
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(FlacFormatError, match="CRC|truncated"):
+        read_flac(p)
+    with pytest.raises(FlacFormatError, match="not a FLAC"):
+        data2 = b"fLaX" + bytes(data[4:])
+        open(p, "wb").write(data2)
+        read_flac(p)
+
+
+def test_dispatch_read_and_write(tmp_path):
+    """read_audio sniffs FLAC by magic; write_audio routes .flac and
+    inherits FLAC for extension-less outputs from a FLAC input."""
+    x = _tone(seconds=0.2)
+    src = str(tmp_path / "in.flac")
+    write_audio(src, x, 48000)
+    y, rate, meta = read_audio(src)
+    assert meta.container == "FLAC"
+    np.testing.assert_array_equal(y, _quant(x, 16))
+
+    out = str(tmp_path / "out_noext")
+    write_audio(out, y, rate, meta, like=src)
+    z, _, m2 = read_audio(out)
+    assert m2.container == "FLAC"  # inherited format, like sf_open's
+    np.testing.assert_array_equal(z, y)
+
+
+def test_cli_rotates_flac(tmp_path):
+    """End to end through the CLI: analyze + apply a FLAC file, output
+    FLAC (cli/phase-rotate.cc accepts any libsndfile format)."""
+    from phaserotate_tpu.cli import main
+
+    rate = 48000
+    t = np.arange(rate // 2) / rate
+    x = (0.5 * np.sin(2 * np.pi * 100 * t)
+         + 0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    src = str(tmp_path / "in.flac")
+    write_flac(src, x, rate)
+    dst = str(tmp_path / "out.flac")
+    assert main(["-a", "90", src, dst]) == 0
+    y, r, _ = read_flac(dst)
+    assert r == rate and y.shape[1] == len(x)
+    # 90 deg rotation of a tone pair: same length, different waveform,
+    # similar energy
+    assert not np.allclose(y[0], _quant(x[None], 16)[0], atol=1e-3)
+    assert np.abs(np.std(y[0]) - np.std(x)) < 0.05
+
+
+# ---- decoder breadth: hand-built streams exercising spec features ----------
+
+
+def _lpc_stream() -> bytes:
+    """Hand-assemble a tiny FLAC stream with an LPC subframe and a
+    5-bit-parameter (method 1) residual, to cover decoder paths our own
+    encoder does not emit."""
+    from phaserotate_tpu.io.flac import (
+        _BitWriter,
+        _crc8,
+        _crc16,
+        _write_utf8_number,
+    )
+
+    rate, bits, n = 48000, 16, 16
+    # samples produced by x[i] = (1*x[i-1]) >> 0 + resid — choose
+    # warmup 100 and residuals so the LPC recursion is easy to verify
+    warm = [100]
+    resid = [3, -2, 5, 0, 1, -1, 2, 4, -3, 0, 2, 1, -2, 3, 0]
+
+    si = _BitWriter()
+    si.write_uint(n, 16)
+    si.write_uint(n, 16)
+    si.write_uint(0, 24)
+    si.write_uint(0, 24)
+    si.write_uint(rate, 20)
+    si.write_uint(0, 3)        # 1 channel
+    si.write_uint(bits - 1, 5)
+    si.write_uint(n, 36)
+    streaminfo = si.tobytes() + b"\x00" * 16
+    head = (b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+            + streaminfo)
+
+    hdr = _BitWriter()
+    hdr.write_uint(0x3FFE, 14)
+    hdr.write_uint(0, 2)
+    hdr.write_uint(6, 4)       # 8-bit blocksize follows
+    hdr.write_uint(0, 4)       # rate from STREAMINFO
+    hdr.write_uint(0, 4)       # 1 channel
+    hdr.write_uint(4, 3)       # 16-bit
+    hdr.write_uint(0, 1)
+    _write_utf8_number(hdr, 0)
+    hdr.write_uint(n - 1, 8)
+    hbytes = hdr.tobytes()
+    hbytes += bytes([_crc8(hbytes)])
+
+    body = _BitWriter()
+    body.write_uint(0, 1)
+    body.write_uint(0x20, 6)   # LPC order 1
+    body.write_uint(0, 1)
+    body.write_uint(warm[0] & 0xFFFF, bits)
+    body.write_uint(3, 4)      # precision code 3 -> 4-bit coefficients
+    body.write_uint(0, 5)      # shift 0
+    body.write_uint(1, 4)      # coefficient +1 (4-bit signed)
+    body.write_uint(1, 2)      # residual method 1 (5-bit params)
+    body.write_uint(0, 4)      # partition order 0
+    body.write_uint(2, 5)      # rice param 2
+    for r in resid:
+        z = (abs(r) << 1) - (1 if r < 0 else 0)
+        body.write_unary(z >> 2)
+        body.write_uint(z & 3, 2)
+    body.align()
+    fbytes = hbytes + body.tobytes()
+    frame = fbytes + _crc16(fbytes).to_bytes(2, "big")
+
+    expect = [100]
+    for r in resid:
+        expect.append(expect[-1] + r)
+    return head + frame, np.array(expect, np.int64)
+
+
+def test_decode_lpc_and_method1_residual(tmp_path):
+    stream, expect = _lpc_stream()
+    p = str(tmp_path / "lpc.flac")
+    open(p, "wb").write(stream)
+    y, rate, _ = read_flac(p)
+    assert rate == 48000
+    np.testing.assert_array_equal(
+        np.rint(y[0] * 32768).astype(np.int64), expect)
