@@ -37,6 +37,7 @@ __all__ = [
     "angle_units_from_degrees",
     "wrap_angle_units",
     "sincos_lut",
+    "degrees_to_turns_np",
     "sin_cos_units",
     "all_angle_cos_sin",
 ]
@@ -50,6 +51,16 @@ def degrees_to_turns(degrees):
     (src/phaserotate.c:564-571)."""
     t = jnp.asarray(degrees, jnp.float32) / jnp.float32(-360.0)
     return jnp.clip(t, -0.5, 0.5)
+
+
+def degrees_to_turns_np(degrees) -> "np.ndarray":
+    """Numpy twin of :func:`degrees_to_turns` for host-side real-time
+    paths: identical float32 arithmetic, zero device involvement (an
+    eager device op here costs a full dispatch round trip per block —
+    ~36 ms through a remote tunnel)."""
+    t = np.asarray(degrees, np.float32) / np.float32(-360.0)
+    return np.clip(t, np.float32(-0.5), np.float32(0.5)).astype(
+        np.float32)
 
 
 def turns_to_radians(turns):

@@ -19,9 +19,10 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import jax
 import numpy as np
 
-from ..core.angles import degrees_to_turns
+from ..core.angles import degrees_to_turns_np
 from ..core.sizes import stream_geometry_for_rate
 from ..meter import (
     MeterConfig,
@@ -105,7 +106,13 @@ class PhaseRotatePlugin:
         # mono AND stereo (the reference spawns a thread per channel,
         # cli/phase-rotate.cc:437-444; on TPU batching is the fan-out)
         self._state = init_state(self.geom, (self.n_chn,))
-        self._mtr = [init_meter_state(self._mtr_cfg)
+        # meter state lives on the host CPU backend: ballistics are a
+        # few scalars per block, and per-block readbacks of the level
+        # fields must not cost a remote-device round trip (the engine
+        # carry stays on the accelerator; placement-aware jit compiles
+        # meter_block for CPU because its state is committed there)
+        cpu = jax.devices("cpu")[0]
+        self._mtr = [jax.device_put(init_meter_state(self._mtr_cfg), cpu)
                      for _ in range(self.n_chn)]
         self._offset = 0
         self._cur_in = np.zeros((self.n_chn, parsiz), np.float32)
@@ -182,7 +189,9 @@ class PhaseRotatePlugin:
         self._handle_control()
 
         if self._fpp != n_samples:
-            self._falloff = meter_falloff(self.rate, n_samples)
+            self._falloff = jax.device_put(
+                meter_falloff(self.rate, n_samples),
+                jax.devices("cpu")[0])
             self._fpp = n_samples
 
         self._process_block(n_samples)
@@ -209,7 +218,7 @@ class PhaseRotatePlugin:
         in_copies = [np.array(self._out[c][:n], np.float32)
                      for c in range(n_chn)]  # raw input (pre-process)
 
-        target_turns = np.asarray(degrees_to_turns(target_deg))
+        target_turns = degrees_to_turns_np(target_deg)
         if self._pipe is None:
             angle_now = np.asarray(self._state.angle)  # one readback
         else:
