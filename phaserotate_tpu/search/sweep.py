@@ -60,15 +60,12 @@ def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
 
     parsiz = geom.parsiz
     n_blocks = _offline_frames(x, parsiz)
-    from ..kernels.fused_conv import supported_parsiz
 
-    if _on_tpu() and supported_parsiz(parsiz):
-        from ..kernels.fused_conv import fused_hilbert
-
-        return fused_hilbert(x, firlen=parsiz, parsiz=parsiz)
     if _on_tpu():
-        # MIN_BLKSIZ geometry (parsiz 1024 < the 4-step kernel's floor):
-        # the direct-DFT small-geometry kernel covers it fused too
+        # the direct-DFT small-geometry kernel wins at every measured
+        # offline geometry (parsiz 8192: 108.7 vs 111.7 ms/512 files,
+        # parity 7e-7 — doc/KERNELS.md round-3 addendum) and is the
+        # only fused path for MIN_BLKSIZ 1024
         from ..kernels.stream_conv import (
             fused_hilbert_small,
             small_conv_supported,
@@ -82,6 +79,12 @@ def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
                 h = jnp.pad(
                     h, [(0, 0)] * (h.ndim - 1) + [(0, want - h.shape[-1])])
             return h[..., :want]
+        from ..kernels.fused_conv import supported_parsiz
+
+        if supported_parsiz(parsiz):  # beyond the small kernel's range
+            from ..kernels.fused_conv import fused_hilbert
+
+            return fused_hilbert(x, firlen=parsiz, parsiz=parsiz)
     spectra = offline_fir_spectrum(geom)[None]  # (1, parsiz+1, 2)
     full = partitioned_convolve(x, spectra, parsiz)
     return full[..., : (n_blocks + 1) * parsiz]
