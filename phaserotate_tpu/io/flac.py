@@ -230,11 +230,14 @@ def _predict_fixed(order: int, warmup: np.ndarray,
         out[:] = resid
         return out
     coef = _FIXED_COEF[order]
-    for i in range(order, blocksize):
-        acc = resid[i - order]
-        for j, c in enumerate(coef):
-            acc += c * out[i - 1 - j]
-        out[i] = acc
+    # int64 wraparound on corrupt streams is deliberate: the garbage
+    # samples fail the frame CRC-16 check right after decode
+    with np.errstate(over="ignore"):
+        for i in range(order, blocksize):
+            acc = resid[i - order]
+            for j, c in enumerate(coef):
+                acc += c * out[i - 1 - j]
+            out[i] = acc
     return out
 
 
@@ -244,11 +247,14 @@ def _predict_lpc(order: int, warmup: np.ndarray, coefs: List[int],
     out = np.empty(blocksize, np.int64)
     out[:order] = warmup
     o = [int(w) for w in warmup]
+    lim = 1 << 40  # far beyond any 32-bit sample: corrupt stream
     for i in range(order, blocksize):
         acc = 0
         for j in range(order):
             acc += coefs[j] * o[-1 - j]
         v = int(resid[i - order]) + (acc >> shift)
+        if not -lim < v < lim:  # diverging prediction = corruption
+            raise FlacFormatError("LPC prediction out of sample range")
         o.append(v)
         if len(o) > order:
             o.pop(0)

@@ -171,3 +171,28 @@ def test_cli_accepts_w64(tmp_path):
     assert main(["-a", "45", src, dst]) == 0
     y, r, _ = read_w64(dst)
     assert r == rate and y.shape[1] == len(x)
+
+
+def test_fuzzed_containers_never_escape_format_error(tmp_path):
+    """Byte flips + truncations in W64/RF64/CAF must fail as
+    WavFormatError or decode, never raw struct/index errors."""
+    rng = np.random.default_rng(13)
+    for writer, ext in ((write_w64, "w64"), (write_rf64, "rf64"),
+                        (write_caf, "caf")):
+        p = str(tmp_path / f"t.{ext}")
+        writer(p, _tone(n=3000), 48000)
+        good = np.frombuffer(open(p, "rb").read(), np.uint8)
+        for _ in range(40):
+            data = good.copy()
+            if rng.random() < 0.5:
+                data = data[: rng.integers(0, len(data))].copy()
+            if len(data):
+                data[rng.integers(0, len(data))] ^= 1 << rng.integers(0, 8)
+            open(p, "wb").write(data.tobytes())
+            try:
+                read_audio(p)
+            except (WavFormatError, Exception) as e:
+                from phaserotate_tpu.io import FlacFormatError
+
+                assert isinstance(
+                    e, (WavFormatError, FlacFormatError)), repr(e)

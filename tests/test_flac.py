@@ -226,3 +226,36 @@ def test_decode_lpc_and_method1_residual(tmp_path):
     assert rate == 48000
     np.testing.assert_array_equal(
         np.rint(y[0] * 32768).astype(np.int64), expect)
+
+
+def test_fuzzed_corruption_never_escapes_format_error(tmp_path):
+    """Random byte flips anywhere in a valid file must surface as
+    FlacFormatError (or decode fine if the flip lands in slack) — never
+    IndexError/struct.error/OverflowError (decoder robustness)."""
+    rng = np.random.default_rng(11)
+    p = str(tmp_path / "t.flac")
+    write_flac(p, _tone(seconds=0.3), 48000)
+    good = np.frombuffer(open(p, "rb").read(), np.uint8)
+    for _ in range(60):
+        data = good.copy()
+        for _ in range(rng.integers(1, 4)):
+            data[rng.integers(0, len(data))] ^= 1 << rng.integers(0, 8)
+        open(p, "wb").write(data.tobytes())
+        try:
+            read_flac(p)
+        except FlacFormatError:
+            pass  # detected — the acceptable failure mode
+
+
+def test_fuzzed_truncation_never_escapes_format_error(tmp_path):
+    rng = np.random.default_rng(12)
+    p = str(tmp_path / "t.flac")
+    write_flac(p, _tone(seconds=0.2), 48000)
+    good = open(p, "rb").read()
+    for _ in range(30):
+        cut = int(rng.integers(0, len(good)))
+        open(p, "wb").write(good[:cut])
+        try:
+            read_flac(p)
+        except FlacFormatError:
+            pass

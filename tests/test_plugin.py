@@ -259,3 +259,42 @@ def test_pipelined_plugin_meters_no_spurious_reset():
     steady = peaks_over(10)
     # peak-hold is monotone while no reset fires
     assert all(b >= a - 1e-7 for a, b in zip(steady, steady[1:]))
+
+
+def test_pipelined_plugin_stereo_delay_parity(rng):
+    """Stereo pipelined plugin: both channels are the exact delayed
+    image of the synchronous run (link-independent channels)."""
+    D = 2
+
+    def run(options):
+        p = PhaseRotatePlugin(PLUGIN_URI_STEREO, RATE, options=options)
+        control, notify = [], []
+        latency = np.zeros(1, np.float32)
+        angles = [np.full(1, 25.0, np.float32),
+                  np.full(1, -70.0, np.float32)]
+        ios = [np.zeros(512, np.float32), np.zeros(512, np.float32)]
+        p.connect_port(PortIndex.ATOM_CONTROL, control)
+        p.connect_port(PortIndex.ATOM_NOTIFY, notify)
+        p.connect_port(PortIndex.LATENCY, latency)
+        for c in range(2):
+            p.connect_port(3 + 3 * c, angles[c])
+            p.connect_port(4 + 3 * c, ios[c])
+            p.connect_port(5 + 3 * c, ios[c])
+        p.activate()
+        rng2 = np.random.default_rng(9)
+        outs = [[], []]
+        for _ in range(12):
+            blk = rng2.standard_normal((2, 512)).astype(np.float32)
+            for c in range(2):
+                ios[c][:] = blk[c]
+            p.run(512)
+            for c in range(2):
+                outs[c].append(ios[c].copy())
+        return [np.concatenate(o) for o in outs]
+
+    y0 = run(None)
+    y1 = run({"pipeline": D})
+    d = D * stream_geometry_parsiz()
+    for c in range(2):
+        np.testing.assert_array_equal(y1[c][:d], 0.0)
+        np.testing.assert_array_equal(y1[c][d:], y0[c][: len(y0[c]) - d])
