@@ -88,6 +88,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="live terminal meters while processing")
     ap.add_argument("--realtime", action="store_true",
                     help="pace processing at 1x realtime")
+    ap.add_argument("--play", action="store_true",
+                    help="monitor through ALSA if available (implies "
+                         "--realtime pacing; falls back to silent "
+                         "pacing without a sound stack)")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="dispatch-pipeline depth in frames (adds "
                          "N*parsiz latency, hides device round-trip)")
@@ -142,6 +146,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.meters:
         host.ui.open()
 
+    playback = None
+    if args.play:
+        from .io.playback import open_output
+
+        playback = open_output(rate, channels)
+        if playback is None:
+            print("no ALSA sound stack: pacing without audio output",
+                  file=sys.stderr)
+            args.realtime = True
+
     n = audio.shape[1]
     outs = []
     block = args.block
@@ -151,6 +165,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         m = min(block, n - pos)
         chunk[:, :m] = audio[:, pos : pos + m]
         outs.append(host.process(chunk))
+        if playback is not None:
+            playback.write(outs[-1])  # blocking write paces the loop
         if args.meters:
             host.ui.poll()
             if (pos // block) % 16 == 0:
@@ -183,6 +199,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         full = stream[:, lat : lat + n]
         write_audio(args.outfile, full, rate, meta, like=args.infile)
         print(f"wrote {args.outfile} ({n} frames, latency {lat} compensated)")
+    if playback is not None:
+        playback.close()
     if webui is not None:
         webui.stop()
     return 0
