@@ -186,10 +186,12 @@ class _Session:
 
             levels = [m for m in self.host.notify
                       if isinstance(m, LevelsMsg)]
-            self.host.notify.clear()
+            if not self.web_ui:  # else ui.poll() consumes + clears
+                self.host.notify.clear()
         if self.web_ui:
             # mirror into the browser surface: dial display follows the
-            # effective angles; levels land in ui.meters
+            # effective angles; levels land in ui.meters (poll clears
+            # the notify queue AFTER the socket meters were extracted)
             self.host.ui.sync_dials()
             self.host.ui.poll()
         return out.T.reshape(-1).astype(np.float32), levels

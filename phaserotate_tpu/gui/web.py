@@ -280,7 +280,8 @@ class WebUI:
                     else:
                         self._send(400, b'{"error": "unknown action"}')
                         return
-                except (KeyError, ValueError, TypeError) as e:
+                except (KeyError, IndexError, ValueError,
+                        TypeError) as e:
                     self._send(400, json.dumps(
                         {"error": str(e)}).encode())
                     return

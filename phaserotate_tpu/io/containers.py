@@ -25,7 +25,13 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .wav import WavFormatError, WavMetadata, _float_to_pcm, _pcm_to_float
+from .wav import (
+    WavFormatError,
+    WavMetadata,
+    _float_to_pcm,
+    _parse_info_list,
+    _pcm_to_float,
+)
 
 __all__ = [
     "is_w64", "read_w64", "write_w64",
@@ -81,6 +87,13 @@ def read_w64(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
             fmt = struct.unpack_from("<HHIIHH", payload, 0)
         elif fourcc == b"data":
             data = payload
+        elif fourcc == b"bext":
+            meta.bext = payload
+        elif fourcc == b"cue ":
+            meta.cues = payload
+        elif fourcc == b"list" and payload[:4] == b"INFO":
+            # list payload carries RIFF-format INFO subchunks
+            meta.info.update(_parse_info_list(payload[4:]))
         else:
             meta.other.append((fourcc, payload))
         pos += (size + 7) & ~7  # chunks are 8-byte aligned
@@ -113,11 +126,30 @@ def write_w64(path: str, audio: np.ndarray, rate: int,
     block_align = channels * bits // 8
     fmt_body = struct.pack("<HHIIHH", fmt_tag, channels, rate,
                            rate * block_align, block_align, bits)
-    body = _w64_guid(b"wave") + chunk(b"fmt ", fmt_body) \
-        + chunk(b"data", payload)
+    body = _w64_guid(b"wave") + chunk(b"fmt ", fmt_body)
+    if meta is not None:
+        if meta.bext is not None:
+            body += chunk(b"bext", meta.bext)
+        if meta.cues is not None:
+            body += chunk(b"cue ", meta.cues)
+        if meta.info:
+            body += chunk(b"list", b"INFO" + _info_list_body(meta))
+    body += chunk(b"data", payload)
     with open(path, "wb") as f:
         # riff size covers the whole file including this header
         f.write(_W64_RIFF + struct.pack("<Q", 24 + len(body)) + body)
+
+
+def _info_list_body(meta: WavMetadata) -> bytes:
+    """RIFF INFO subchunk stream (the format write_wav emits,
+    io/wav.py:210-216)."""
+    body = b""
+    for cid, text in meta.info.items():
+        t = text.encode("utf-8") + b"\x00"
+        if len(t) & 1:
+            t += b"\x00"
+        body += cid + struct.pack("<I", len(t)) + t
+    return body
 
 
 # ---- RF64 ------------------------------------------------------------------
@@ -154,6 +186,11 @@ def read_rf64(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
             fmt = struct.unpack_from("<HHIIHH", payload, 0)
         elif cid == b"bext":
             meta.bext = blob[pos + 8 : pos + 8 + size]
+        elif cid == b"cue ":
+            meta.cues = blob[pos + 8 : pos + 8 + size]
+        elif cid == b"LIST" and blob[pos + 8 : pos + 12] == b"INFO":
+            meta.info.update(
+                _parse_info_list(blob[pos + 12 : pos + 8 + size]))
         if pos + 8 + size > len(blob):
             raise WavFormatError(f"{path}: truncated {cid!r} chunk")
         pos += 8 + size + (size & 1)
@@ -188,18 +225,26 @@ def write_rf64(path: str, audio: np.ndarray, rate: int,
     data_chunk = (b"data" + struct.pack("<I", 0xFFFFFFFF) + payload
                   + (b"\x00" if len(payload) & 1 else b""))
     fmt_chunk = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
-    bext_chunk = b""
-    if meta is not None and meta.bext is not None:
-        b = meta.bext
-        bext_chunk = (b"bext" + struct.pack("<I", len(b)) + b
-                      + (b"\x00" if len(b) & 1 else b""))
-    riff_size = (4 + 8 + 28 + len(fmt_chunk) + len(bext_chunk)
+    meta_chunks = b""
+    if meta is not None:
+        if meta.bext is not None:
+            b = meta.bext
+            meta_chunks += (b"bext" + struct.pack("<I", len(b)) + b
+                            + (b"\x00" if len(b) & 1 else b""))
+        if meta.cues is not None:
+            c = meta.cues
+            meta_chunks += (b"cue " + struct.pack("<I", len(c)) + c
+                            + (b"\x00" if len(c) & 1 else b""))
+        if meta.info:
+            lst = b"INFO" + _info_list_body(meta)
+            meta_chunks += b"LIST" + struct.pack("<I", len(lst)) + lst
+    riff_size = (4 + 8 + 28 + len(fmt_chunk) + len(meta_chunks)
                  + len(data_chunk))
     ds64 = struct.pack("<QQQI", riff_size, len(payload), n, 0)
     chunks.append(b"ds64" + struct.pack("<I", len(ds64)) + ds64)
     chunks.append(fmt_chunk)
-    if bext_chunk:
-        chunks.append(bext_chunk)
+    if meta_chunks:
+        chunks.append(meta_chunks)
     chunks.append(data_chunk)
     with open(path, "wb") as f:
         f.write(b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"

@@ -355,8 +355,11 @@ def read_flac(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
             chans[c].append(block[c])
         decoded += block.shape[1]
 
-    audio = np.concatenate(
-        [np.concatenate(ch)[None] for ch in chans], axis=0)
+    if decoded:
+        audio = np.concatenate(
+            [np.concatenate(ch)[None] for ch in chans], axis=0)
+    else:  # zero-frame stream (e.g. an empty encode): valid, empty
+        audio = np.zeros((channels, 0), np.int64)
     if total:
         audio = audio[:, :total]
     scale = float(1 << (bits - 1))
@@ -469,11 +472,12 @@ def _write_utf8_number(bw: _BitWriter, v: int) -> None:
     if v < 0x80:
         bw.write_uint(v, 8)
         return
-    # count continuation bytes needed
+    # n continuation bytes hold 6n bits; the lead byte starts with
+    # n+1 one-bits then a zero and holds the remaining 6-n value bits
     for n in range(1, 7):
         if v < (1 << (6 + 5 * n)) or n == 6:
             break
-    lead = (0xFF00 >> n) & 0xFF if n < 7 else 0xFE
+    lead = (0xFF00 >> (n + 1)) & 0xFF
     bw.write_uint((lead | (v >> (6 * n))) & 0xFF, 8)
     for i in range(n - 1, -1, -1):
         bw.write_uint(0x80 | ((v >> (6 * i)) & 0x3F), 8)

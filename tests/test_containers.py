@@ -196,3 +196,24 @@ def test_fuzzed_containers_never_escape_format_error(tmp_path):
 
                 assert isinstance(
                     e, (WavFormatError, FlacFormatError)), repr(e)
+
+
+def test_w64_rf64_metadata_passthrough(tmp_path):
+    """INFO strings, bext, and cues survive W64 and RF64 roundtrips —
+    the same passthrough contract the WAV writer honors
+    (cli/phase-rotate.cc:541-563 copy_metadata)."""
+    meta = WavMetadata()
+    meta.info[b"INAM"] = "master B"
+    meta.info[b"IART"] = "engineer"
+    meta.bext = b"B" * 602
+    meta.cues = b"\x01\x00\x00\x00" + b"C" * 24
+    for writer, reader, ext in ((write_w64, read_w64, "w64"),
+                                (write_rf64, read_rf64, "rf64")):
+        p = str(tmp_path / f"t.{ext}")
+        writer(p, _tone(n=500), 48000, meta)
+        y, _, m = reader(p)
+        assert m.info[b"INAM"] == "master B", ext
+        assert m.info[b"IART"] == "engineer", ext
+        assert m.bext == meta.bext, ext
+        assert m.cues == meta.cues, ext
+        np.testing.assert_array_equal(y, _tone(n=500))

@@ -259,3 +259,23 @@ def test_fuzzed_truncation_never_escapes_format_error(tmp_path):
             read_flac(p)
         except FlacFormatError:
             pass
+
+
+def test_long_file_many_frames_roundtrip(tmp_path):
+    """>128 frames exercises the multi-byte UTF-8 frame-number coding
+    (a 2-byte number from frame 128, 3-byte from frame 2048); the
+    encoder once emitted an invalid lead byte here."""
+    n = 4096 * 2100  # 2100 frames, mostly CONSTANT (fast)
+    x = np.zeros((1, n), np.float32)
+    x[0, ::4096] = 0.5  # non-constant enough to keep frames distinct
+    p = str(tmp_path / "long.flac")
+    write_flac(p, x, 48000)
+    y, _, _ = read_flac(p)
+    np.testing.assert_array_equal(y, _quant(x, 16))
+
+
+def test_empty_audio_roundtrip(tmp_path):
+    p = str(tmp_path / "empty.flac")
+    write_flac(p, np.zeros((2, 0), np.float32), 48000)
+    y, rate, _ = read_flac(p)
+    assert rate == 48000 and y.shape == (2, 0)

@@ -279,3 +279,48 @@ def test_bundle_ships_ui(tmp_path):
     assert (d / "prt_ui.so").exists()
     assert (d / "phaserotate_tpu.so").exists()
     assert "web_ui" in (d / "manifest.ttl").read_text()
+
+
+def test_out_of_range_channel_rejected(webhost):
+    """A channel index past the session's dials must return 400, not
+    drop the connection."""
+    _, ui = webhost
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(ui.url + "control",
+              {"action": "dial", "session": "0", "channel": 5,
+               "value": 1.0})
+    assert e.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def daemon_meters_ui(tmp_path_factory):
+    sock = str(tmp_path_factory.mktemp("bridgemui") / "engine.sock")
+    port = _free_port()
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge",
+         "--socket", sock, "--ready-fd", str(w), "--meters",
+         "--ui-port", str(port)],
+        pass_fds=(w,), cwd=REPO, stderr=subprocess.DEVNULL)
+    os.close(w)
+    assert os.read(r, 1) == b"R", "daemon failed to start"
+    os.close(r)
+    yield sock, f"http://127.0.0.1:{port}/"
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def test_meters_and_ui_both_receive_levels(daemon_meters_ui, rng):
+    """--meters and --ui-port together: the socket client gets T_LEVELS
+    AND the browser state shows live meters (the notify queue must feed
+    both consumers)."""
+    sock, url = daemon_meters_ui
+    cl = BridgeClient(sock, 48000, 1)
+    x = (0.5 * rng.standard_normal((1, 2048))).astype(np.float32)
+    for _ in range(4):
+        cl.process(x, 10.0)
+    assert cl.levels, "socket client lost its meter stream"
+    state = json.loads(_get(url + "state"))
+    (_, s), = state["sessions"].items()
+    assert s["meters"][0]["in_peak"] > 0.1, "web UI lost the meters"
+    cl.close()
