@@ -93,6 +93,7 @@ class _SessionSurface:
             "label": self.label,
             "channels": s.channels,
             "rate": s.rate,
+            "device": s.device,
             "link": ui.link.active,
             "ui_scale": ui.ui_scale,
             "angles": [d.value for d in ui.dials],
@@ -138,7 +139,7 @@ class _Session:
 
     def __init__(self, rate: int, channels: int, meters: bool,
                  engine_lock: threading.Lock, pipeline: int = 0,
-                 web_ui: bool = False):
+                 web_ui: bool = False, device: int = 0):
         from .hostapp import StandaloneHost
 
         if channels not in (1, 2):
@@ -147,10 +148,11 @@ class _Session:
             raise ValueError(f"implausible sample rate {rate}")
         self.channels = channels
         self.rate = rate
+        self.device = device
         self.lock = engine_lock
         with engine_lock:  # plugin instantiate compiles on-device code
             self.host = StandaloneHost(rate, channels, block=MAX_FRAMES,
-                                       pipeline=pipeline)
+                                       pipeline=pipeline, device=device)
         self.plugin = self.host.plugin
         self.meters = meters
         self.web_ui = web_ui
@@ -198,7 +200,7 @@ class _Session:
 
 
 def _handle(conn: socket.socket, meters: bool,
-            engine_lock: threading.Lock, pipeline: int = 0,
+            pool: "DevicePool", pipeline: int = 0,
             registry: Optional[dict] = None,
             sid_out: Optional[list] = None) -> None:
     if struct.unpack("<I", _recv_exact(conn, 4))[0] != MAGIC:
@@ -212,9 +214,11 @@ def _handle(conn: socket.socket, meters: bool,
         if mtype == T_INIT:
             try:
                 rate, channels = struct.unpack("<II", payload)
-                session = _Session(rate, channels, meters, engine_lock,
+                device, lock = pool.assign()
+                session = _Session(rate, channels, meters, lock,
                                    pipeline=pipeline,
-                                   web_ui=registry is not None)
+                                   web_ui=registry is not None,
+                                   device=device)
                 if registry is not None:
                     sid = _register_session(registry, session)
                     if sid_out is not None:
@@ -258,6 +262,32 @@ def _handle(conn: socket.socket, meters: bool,
             return
 
 
+class DevicePool:
+    """Round-robin accelerator assignment for daemon sessions.
+
+    Each device is single-owner (its own engine lock serializes the
+    dispatches landing on it); sessions on different devices stream
+    concurrently — multi-chip serving without sharding, the daemon's
+    analogue of an LV2 host instantiating plugins freely
+    (src/phaserotate.c:860-893) across a pod's chips."""
+
+    def __init__(self, n_devices: int = 1):
+        import jax
+
+        avail = len(jax.devices())
+        self.n = max(1, min(n_devices if n_devices > 0 else avail,
+                            avail))
+        self.locks = [threading.Lock() for _ in range(self.n)]
+        self._next = 0
+        self._mu = threading.Lock()
+
+    def assign(self):
+        with self._mu:
+            idx = self._next % self.n
+            self._next += 1
+        return idx, self.locks[idx]
+
+
 _SID_LOCK = threading.Lock()
 _SID_NEXT = [1]
 
@@ -271,14 +301,14 @@ def _register_session(registry: dict, session: "_Session") -> int:
 
 
 def _client_loop(conn: socket.socket, meters: bool,
-                 engine_lock: threading.Lock, pipeline: int = 0,
+                 pool: "DevicePool", pipeline: int = 0,
                  registry: Optional[dict] = None) -> None:
     """Run one connection to completion with the per-client error
     containment the daemon guarantees: a bad or dead client is reported
     (when possible), dropped, and never takes the daemon down."""
     my_sids: list = []
     try:
-        _handle(conn, meters, engine_lock, pipeline, registry, my_sids)
+        _handle(conn, meters, pool, pipeline, registry, my_sids)
     except (ConnectionError, socket.timeout):
         pass  # dead/silent client: drop quietly, keep serving others
     except Exception as e:  # a bad client must never kill the daemon
@@ -298,7 +328,8 @@ def serve(path: str, once: bool = False, meters: bool = False,
           ready_fd: Optional[int] = None,
           timeout: Optional[float] = 600.0,
           pipeline: int = 0,
-          ui_port: Optional[int] = None) -> None:
+          ui_port: Optional[int] = None,
+          devices: int = 1) -> None:
     """Serve plugin sessions on a Unix socket at ``path``.
 
     Accepts any number of concurrent clients — one plugin instance per
@@ -313,13 +344,15 @@ def serve(path: str, once: bool = False, meters: bool = False,
     N*parsiz frames of reported latency, real-time margin independent of
     the device round-trip — stream/host.py module docstring);
     ``ui_port`` serves the browser GUI (gui/web.py) for every live
-    session on http://127.0.0.1:<ui_port>/ (0 = ephemeral port).
+    session on http://127.0.0.1:<ui_port>/ (0 = ephemeral port);
+    ``devices`` spreads sessions round-robin over that many
+    accelerators (0 = all available), each with its own engine lock.
     """
     try:
         os.unlink(path)
     except FileNotFoundError:
         pass
-    engine_lock = threading.Lock()
+    pool = DevicePool(devices)
     registry: Optional[dict] = None
     webui = None
     if ui_port is not None:
@@ -340,12 +373,11 @@ def serve(path: str, once: bool = False, meters: bool = False,
             if timeout is not None:
                 conn.settimeout(timeout)
             if once:
-                _client_loop(conn, meters, engine_lock, pipeline,
-                             registry)
+                _client_loop(conn, meters, pool, pipeline, registry)
                 return
             threading.Thread(
                 target=_client_loop,
-                args=(conn, meters, engine_lock, pipeline, registry),
+                args=(conn, meters, pool, pipeline, registry),
                 daemon=True).start()
     finally:
         if webui is not None:
@@ -432,6 +464,9 @@ def main(argv=None) -> int:
     ap.add_argument("--ui-port", type=int, default=None,
                     help="serve the browser GUI for live sessions on "
                          "this port (0 = pick a free port)")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="spread sessions round-robin over this many "
+                         "accelerators (0 = all available)")
     ap.add_argument("--ready-fd", type=int, default=None,
                     help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
@@ -440,7 +475,8 @@ def main(argv=None) -> int:
     serve(args.socket, once=args.once, meters=args.meters,
           ready_fd=args.ready_fd,
           timeout=args.timeout if args.timeout > 0 else None,
-          pipeline=args.pipeline, ui_port=args.ui_port)
+          pipeline=args.pipeline, ui_port=args.ui_port,
+          devices=args.devices)
     return 0
 
 

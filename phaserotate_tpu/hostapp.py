@@ -32,14 +32,18 @@ class StandaloneHost:
     """Owns one plugin instance with fully wired ports."""
 
     def __init__(self, rate: int, channels: int, block: int = 256,
-                 pipeline: int = 0):
+                 pipeline: int = 0, device: int = 0):
         if channels > 2:
             raise ValueError("standalone host supports mono or stereo")
         self.desc = descriptor_for_channels(channels)
         self.block = block
+        options = {}
+        if pipeline:
+            options["pipeline"] = pipeline
+        if device:
+            options["device"] = device
         self.plugin = PhaseRotatePlugin(
-            self.desc.uri, rate,
-            options={"pipeline": pipeline} if pipeline else None)
+            self.desc.uri, rate, options=options or None)
         self.control: List = []
         self.notify: List = []
         self.latency = np.zeros(1, np.float32)

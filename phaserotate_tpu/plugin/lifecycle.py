@@ -74,6 +74,17 @@ class PhaseRotatePlugin:
         self.pipeline_depth = 0
         if options and "pipeline" in options:
             self.pipeline_depth = max(0, int(options["pipeline"]))
+        # accelerator placement: committing the engine carry to device k
+        # makes every dispatch of this instance run there (placement-
+        # aware jit) — the daemon schedules sessions round-robin over a
+        # chip pool this way (multi-chip serving without sharding)
+        self.device_index = 0
+        if options and "device" in options:
+            self.device_index = int(options["device"])
+            if not 0 <= self.device_index < len(jax.devices()):
+                raise ValueError(
+                    f"device {self.device_index} out of range "
+                    f"({len(jax.devices())} available)")
         self.latency = (self.geom.latency
                         + self.pipeline_depth * self.geom.parsiz)
 
@@ -106,6 +117,9 @@ class PhaseRotatePlugin:
         # mono AND stereo (the reference spawns a thread per channel,
         # cli/phase-rotate.cc:437-444; on TPU batching is the fan-out)
         self._state = init_state(self.geom, (self.n_chn,))
+        if self.device_index:
+            self._state = jax.device_put(
+                self._state, jax.devices()[self.device_index])
         # meter state lives on the host CPU backend: ballistics are a
         # few scalars per block, and per-block readbacks of the level
         # fields must not cost a remote-device round trip (the engine

@@ -298,3 +298,40 @@ def test_pipelined_plugin_stereo_delay_parity(rng):
     for c in range(2):
         np.testing.assert_array_equal(y1[c][:d], 0.0)
         np.testing.assert_array_equal(y1[c][d:], y0[c][: len(y0[c]) - d])
+
+
+def test_plugin_device_placement_and_parity(rng):
+    """options={'device': k} commits the engine carry to device k (the
+    daemon's multi-chip scheduling primitive) with identical output."""
+    import jax
+
+    assert len(jax.devices()) >= 4  # 8-device CPU test mesh
+
+    def run(device):
+        opts = {"device": device} if device else None
+        p = PhaseRotatePlugin(PLUGIN_URI, RATE, options=opts)
+        control, notify = [], []
+        angle = np.full(1, 30.0, np.float32)
+        io = np.zeros(512, np.float32)
+        p.connect_port(PortIndex.ATOM_CONTROL, control)
+        p.connect_port(PortIndex.ATOM_NOTIFY, notify)
+        p.connect_port(3, angle)
+        p.connect_port(4, io)
+        p.connect_port(5, io)
+        p.activate()
+        if device:
+            assert list(p._state.tail.devices()) == [jax.devices()[device]]
+        rng2 = np.random.default_rng(3)
+        outs = []
+        for _ in range(8):
+            io[:] = rng2.standard_normal(512).astype(np.float32)
+            p.run(512)
+            outs.append(io.copy())
+        return np.concatenate(outs)
+
+    np.testing.assert_array_equal(run(0), run(3))
+
+
+def test_plugin_device_out_of_range():
+    with pytest.raises(ValueError, match="device"):
+        PhaseRotatePlugin(PLUGIN_URI, RATE, options={"device": 99})

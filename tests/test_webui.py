@@ -324,3 +324,47 @@ def test_meters_and_ui_both_receive_levels(daemon_meters_ui, rng):
     (_, s), = state["sessions"].items()
     assert s["meters"][0]["in_peak"] > 0.1, "web UI lost the meters"
     cl.close()
+
+
+@pytest.fixture(scope="module")
+def pool_daemon(tmp_path_factory):
+    sock = str(tmp_path_factory.mktemp("bridgepool") / "engine.sock")
+    port = _free_port()
+    r, w = os.pipe()
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge",
+         "--socket", sock, "--ready-fd", str(w),
+         "--devices", "2", "--ui-port", str(port)],
+        pass_fds=(w,), cwd=REPO, env=env, stderr=subprocess.DEVNULL)
+    os.close(w)
+    assert os.read(r, 1) == b"R", "daemon failed to start"
+    os.close(r)
+    yield sock, f"http://127.0.0.1:{port}/"
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def test_device_pool_spreads_sessions(pool_daemon, rng):
+    """--devices 2: concurrent sessions land on different accelerators
+    (round-robin; each device single-owner behind its own lock) and
+    both stream correct audio."""
+    sock, url = pool_daemon
+    cls = [BridgeClient(sock, 48000, 1) for _ in range(2)]
+    x = (0.5 * rng.standard_normal((1, 2048))).astype(np.float32)
+    outs = [[], []]
+    for _ in range(4):
+        for i, cl in enumerate(cls):
+            outs[i].append(cl.process(x, [20.0, -50.0][i]))
+    state = json.loads(_get(url + "state"))
+    devices = sorted(s["device"] for s in state["sessions"].values())
+    assert devices == [0, 1]
+    # both outputs are real (post-latency signal present) and distinct
+    y0 = np.concatenate(outs[0], axis=1)[0]
+    y1 = np.concatenate(outs[1], axis=1)[0]
+    assert np.abs(y0[4096:]).max() > 0.01
+    assert np.abs(y1[4096:]).max() > 0.01
+    assert not np.allclose(y0[4096:], y1[4096:])
+    for cl in cls:
+        cl.close()
