@@ -256,9 +256,14 @@ class PhaseRotatePlugin:
 
         # metering (src/phaserotate.c:573-611, 728-771)
         for c in range(n_chn):
+            # np.array (copy), never a view: the meter dispatch is
+            # async and the port buffer is rewritten next run() — a
+            # view would hand the queued computation mutating memory
+            # (same hazard as the pipelined staging buffer,
+            # stream/host.py advance_stream)
             self._mtr[c], lv = meter_block(
                 self._mtr[c], in_copies[c],
-                np.asarray(self._out[c][:n], np.float32),
+                np.array(self._out[c][:n], np.float32),
                 self._falloff, self._mtr_cfg.hold_samples,
                 bool(angle_changed[c]))
 

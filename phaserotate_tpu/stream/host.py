@@ -126,10 +126,18 @@ def advance_stream(state, cur_in, cur_out, offset, x, degs, geom,
         pos += ns
         if offset == parsiz:
             offset = 0
-            state, y = stream_step_batched(state, cur_in, degs, geom)
             if pipe is not None:
+                # the dispatch is ASYNC in pipelined mode and jax may
+                # alias a numpy argument zero-copy (CPU backend) or
+                # transfer it lazily — hand the queued step its own
+                # snapshot, because cur_in is mutated again while the
+                # step may still be in flight (race observed under
+                # load; the sync path's per-frame readback masks it)
+                state, y = stream_step_batched(
+                    state, cur_in.copy(), degs, geom)
                 cur_out[:] = pipe.push_pop(y)
             else:
+                state, y = stream_step_batched(state, cur_in, degs, geom)
                 cur_out[:] = np.asarray(y)
     return state, offset, out
 

@@ -137,7 +137,7 @@ def test_pty_end_to_end(tmp_path):
         stdin=slave, stdout=slave, stderr=subprocess.DEVNULL, cwd=REPO)
     os.close(slave)
 
-    def read_screen(timeout=30.0, until=None):
+    def read_screen(timeout=90.0, until=None):
         buf = b""
         end = time.time() + timeout
         while time.time() < end:
@@ -156,7 +156,7 @@ def test_pty_end_to_end(tmp_path):
         os.write(master, b"\x1b[C")  # +0.5 deg
         assert b"+0.5 deg" in read_screen(until=b"+0.5 deg")
         os.write(master, b"q")
-        assert proc.wait(timeout=30) == 0
+        assert proc.wait(timeout=90) == 0
     finally:
         if proc.poll() is None:
             proc.kill()
