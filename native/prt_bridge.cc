@@ -6,10 +6,15 @@
 // (phaserotate_tpu/bridge.py), so no Python is imported in this process.
 //
 //   prt_bridge [-s socket] [-a angle[,angle2]] [-b block] [-r] in.wav [out.wav]
+//   prt_bridge -A [-l] [-S stride] [-f blksiz] in.wav     (min-peak search)
 //
 // Reads PCM16/24/32 and float32 WAV, streams, latency-compensates the
 // write exactly like the offline CLI (skip `latency` frames, flush zero
 // blocks), and reports in/out digital peaks via the SIMD peak scan.
+// -A runs the offline minimum-peak angle search on the engine (daemon
+// ANALYZE protocol) and prints the CLI's result format
+// (cli/phase-rotate.cc:931-947) — the full phase-rotate workflow with
+// no Python in the client process.
 // Fresh implementation; WAV structures per the public RIFF/WAVE layout.
 
 #include <cerrno>
@@ -150,7 +155,77 @@ void usage() {
           "  -a <deg[,deg]> rotation angle(s), default 0\n"
           "  -b <n>      block size in frames (default 1024)\n"
           "  -m          print engine meter levels (daemon --meters)\n"
-          "  -r          pace at 1x realtime\n");
+          "  -r          pace at 1x realtime\n"
+          "  -A          analyze: find the minimum-peak angle(s)\n"
+          "  -l          link channels (-A): minimize the downmix peak\n"
+          "  -S <n>      coarse stride in half-degree units (-A, def 24)\n"
+          "  -f <n>      analysis block size (-A, 0 = from sample rate)\n");
+}
+
+float db_gain(float zero, float minv) {
+  if (zero < 1e-15f || minv < 1e-15f) return 0.0f;
+  return 20.0f * log10f(zero) - 20.0f * log10f(minv);
+}
+
+int run_analyze(prt::Conn& conn, const Wav& in, uint16_t ch, bool link,
+                uint32_t stride, uint32_t blksiz) {
+  uint32_t begin[5] = {in.rate, ch, link ? 1u : 0u, stride, blksiz};
+  if (!conn.send_msg(prt::kAnalyzeBegin, begin, sizeof begin)) return 1;
+  const size_t n = in.frames();
+  const size_t chunk = 1 << 18;
+  std::vector<uint8_t> msg;
+  for (size_t pos = 0; pos == 0 || pos < n; pos += chunk) {
+    const size_t m = n - pos < chunk ? n - pos : chunk;
+    msg.assign(4 + 4 * m * ch, 0);
+    uint32_t mu = static_cast<uint32_t>(m);
+    memcpy(msg.data(), &mu, 4);
+    float* body = reinterpret_cast<float*>(msg.data() + 4);
+    for (size_t i = 0; i < m; ++i)
+      for (size_t c = 0; c < ch; ++c)
+        body[i * ch + c] = in.samples[(pos + i) * in.channels + c];
+    if (!conn.send_msg(prt::kAnalyzeData, msg.data(), msg.size()))
+      return 1;
+    if (m < chunk) break;
+  }
+  if (!conn.send_msg(prt::kAnalyzeEnd, nullptr, 0)) return 1;
+  uint32_t rtype;
+  std::vector<uint8_t> reply;
+  if (!conn.recv_reply(&rtype, &reply) || rtype != prt::kAnalyzeOk) {
+    fprintf(stderr, "ANALYZE failed: %.*s\n",
+            static_cast<int>(reply.size()),
+            reinterpret_cast<char*>(reply.data()));
+    return 1;
+  }
+  uint32_t rc = 0;
+  if (reply.size() < 4) return 1;
+  memcpy(&rc, reply.data(), 4);
+  if (reply.size() < 4 + 16ull * rc) {
+    fprintf(stderr, "ANALYZE reply too short\n");
+    return 1;
+  }
+  // the CLI's result block (cli/phase-rotate.cc:931-947)
+  printf("# Result -- Minimize digital peak\n");
+  for (uint32_t c = 0; c < rc; ++c) {
+    float angle, pz, pm;
+    uint32_t found;
+    memcpy(&angle, reply.data() + 4 + 16 * c, 4);
+    memcpy(&pz, reply.data() + 8 + 16 * c, 4);
+    memcpy(&pm, reply.data() + 12 + 16 * c, 4);
+    memcpy(&found, reply.data() + 16 + 16 * c, 4);
+    if (!found) {
+      printf("Channel: %2u Phase:   0 deg # cannot find min.\n", c + 1);
+    } else if (angle == 0.0f) {
+      printf("Channel: %2u Phase: %5.2f deg\n", c + 1, angle);
+    } else {
+      // cli.py's result line (mirrors cli/phase-rotate.cc:940-946)
+      printf("Channel: %2u Phase: %5.2f deg, gain: %5.2f dB "
+             "(att. %4.2f to %4.2f dBFS)\n",
+             c + 1, angle, db_gain(pz, pm),
+             pz > 1e-15f ? 20.0f * log10f(pz) : -200.0f,
+             pm > 1e-15f ? 20.0f * log10f(pm) : -200.0f);
+    }
+  }
+  return 0;
 }
 
 float db(float v) { return v > 1e-10f ? 20.0f * log10f(v) : -200.0f; }
@@ -163,9 +238,10 @@ int main(int argc, char** argv) {
   if (env && *env) sock_path = env;
   double angle0 = 0.0, angle1 = 0.0;
   bool have_angle1 = false, realtime = false, meters = false;
-  long block = 1024;
+  bool analyze = false, link = false;
+  long block = 1024, stride = 24, blksiz = 0;
   int opt;
-  while ((opt = getopt(argc, argv, "s:a:b:mrh")) != -1) {
+  while ((opt = getopt(argc, argv, "s:a:b:mrAlS:f:h")) != -1) {
     switch (opt) {
       case 's': sock_path = optarg; break;
       case 'a': {
@@ -177,6 +253,10 @@ int main(int argc, char** argv) {
       case 'b': block = atol(optarg); break;
       case 'm': meters = true; break;
       case 'r': realtime = true; break;
+      case 'A': analyze = true; break;
+      case 'l': link = true; break;
+      case 'S': stride = atol(optarg); break;
+      case 'f': blksiz = atol(optarg); break;
       default: usage(); return opt == 'h' ? 0 : 1;
     }
   }
@@ -188,6 +268,20 @@ int main(int argc, char** argv) {
   if (!wav_read(in_path, &in)) return 1;
   uint16_t ch = in.channels > 2 ? 2 : in.channels;
   if (!have_angle1) angle1 = angle0;
+
+  if (analyze) {
+    prt::Conn aconn;
+    if (!aconn.open_raw(sock_path.c_str())) {
+      fprintf(stderr, "cannot connect to engine at %s: %s\n",
+              sock_path.c_str(), strerror(errno));
+      return 1;
+    }
+    int rc = run_analyze(aconn, in, in.channels, link,
+                         static_cast<uint32_t>(stride),
+                         static_cast<uint32_t>(blksiz));
+    aconn.bye();
+    return rc;
+  }
 
   prt::Conn conn;
   uint32_t latency = 0;

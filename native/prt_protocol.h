@@ -45,8 +45,11 @@ inline void set_socket_deadline(int fd) {
 
 constexpr uint32_t kMagic = 0x50525431;  // "PRT1"
 constexpr uint32_t kInit = 1, kProc = 2, kBye = 3;
+constexpr uint32_t kAnalyzeBegin = 4, kAnalyzeData = 5, kAnalyzeEnd = 6;
 constexpr uint32_t kInitOk = 101, kProcOk = 102, kLevels = 103,
                    kErr = 199;
+// replies must sit OUTSIDE the informational skip range 103..198
+constexpr uint32_t kAnalyzeOk = 201;
 // informational message range: clients skip these while awaiting a reply
 constexpr uint32_t kInfoFirst = 103, kInfoLast = 198;
 
@@ -106,6 +109,23 @@ struct Conn {
   bool recv_reply(uint32_t* type, std::vector<uint8_t>* payload) {
     return recv_reply(type, payload,
                       [](uint32_t, const std::vector<uint8_t>&) {});
+  }
+
+  // Connect + magic only (no INIT): for analyze-only clients that
+  // never instantiate a streaming session.
+  bool open_raw(const char* path) {
+    fd = socket(AF_UNIX, SOCK_STREAM, 0);
+    if (fd < 0) return false;
+    set_socket_deadline(fd);
+    sockaddr_un addr{};
+    addr.sun_family = AF_UNIX;
+    snprintf(addr.sun_path, sizeof addr.sun_path, "%s", path);
+    if (connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr) ||
+        !send_exact(&kMagic, 4)) {
+      close_fd();
+      return false;
+    }
+    return true;
   }
 
   // Connect + handshake (magic, INIT, INIT_OK).  Returns false (fd=-1)

@@ -18,9 +18,16 @@ Protocol (all little-endian, fixed 8-byte header ``u32 type, u32 len``):
       PROC  (2): u32 n_frames, f32 angle_deg[channels],
                  f32 samples[n_frames*channels]     (interleaved)
       BYE   (3): empty
+      ANALYZE_BEGIN (4): u32 rate, u32 channels, u32 link,
+                 u32 stride, u32 blksiz (0 = derive from rate) —
+                 offline min-peak search, no INIT required
+      ANALYZE_DATA  (5): u32 n_frames, f32 samples[n*ch]
+      ANALYZE_END   (6): empty -> ANALYZE_OK reply
     server -> client
       INIT_OK (101): u32 latency_frames, u32 parsiz, u32 channels
       PROC_OK (102): u32 n_frames, f32 samples[n_frames*channels]
+      ANALYZE_OK (201): u32 channels, then per channel
+                 f32 angle_deg, f32 peak_zero, f32 peak_min, u32 found
       LEVELS  (103): sent BEFORE the PROC_OK it belongs to when metering
                  is on (so a client reading until PROC_OK consumes it in
                  stride): u32 count, then per entry u32 channel +
@@ -48,8 +55,11 @@ import numpy as np
 
 MAGIC = 0x50525431  # "PRT1"
 T_INIT, T_PROC, T_BYE = 1, 2, 3
+T_ANALYZE_BEGIN, T_ANALYZE_DATA, T_ANALYZE_END = 4, 5, 6
 T_INIT_OK, T_PROC_OK, T_LEVELS, T_ERR = 101, 102, 103, 199
+T_ANALYZE_OK = 201  # NOT in the 103..198 informational range
 MAX_FRAMES = 1 << 20
+MAX_ANALYZE_FRAMES = 1 << 26  # ~23 min @ 48 kHz: bound daemon memory
 DEFAULT_SOCKET = "/tmp/phaserotate_tpu.sock"
 
 __all__ = ["serve", "BridgeClient", "DEFAULT_SOCKET", "main"]
@@ -75,6 +85,57 @@ def _recv_msg(conn: socket.socket) -> Tuple[int, bytes]:
 
 def _send_msg(conn: socket.socket, mtype: int, payload: bytes = b"") -> None:
     conn.sendall(struct.pack("<II", mtype, len(payload)) + payload)
+
+
+class _Analysis:
+    """Accumulates ANALYZE_DATA chunks and runs the offline min-peak
+    search (the CLI workflow, cli/phase-rotate.cc:779-948) on the
+    pool-assigned accelerator."""
+
+    def __init__(self, payload: bytes, pool: "DevicePool"):
+        rate, channels, link, stride, blksiz = struct.unpack(
+            "<IIIII", payload)
+        if not (8000 <= rate <= 768000):
+            raise ValueError(f"implausible sample rate {rate}")
+        if not 1 <= channels <= 8:
+            raise ValueError(f"channels must be 1..8, got {channels}")
+        self.rate, self.channels = rate, channels
+        self.link, self.stride, self.blksiz = bool(link), stride, blksiz
+        self.device, self.lock = pool.assign()
+        self.chunks: List[np.ndarray] = []
+        self.frames = 0
+
+    def feed(self, payload: bytes) -> None:
+        (n,) = struct.unpack_from("<I", payload, 0)
+        want = 4 + 4 * n * self.channels
+        if len(payload) != want:
+            raise ValueError("bad ANALYZE_DATA payload")
+        if self.frames + n > MAX_ANALYZE_FRAMES:
+            raise ValueError(
+                f"analysis exceeds {MAX_ANALYZE_FRAMES} frames")
+        self.chunks.append(
+            np.frombuffer(payload, np.float32, n * self.channels, 4))
+        self.frames += n
+
+    def finish(self) -> bytes:
+        import jax
+
+        from .search import find_min_peak_angle
+
+        flat = (np.concatenate(self.chunks) if self.chunks
+                else np.zeros(0, np.float32))
+        x = flat.reshape(self.frames, self.channels).T
+        with self.lock:  # the assigned accelerator is single-owner
+            with jax.default_device(jax.devices()[self.device]):
+                res = find_min_peak_angle(
+                    x, rate=self.rate, stride=self.stride,
+                    link_channels=self.link, blksiz=self.blksiz)
+        out = struct.pack("<I", self.channels)
+        for c in range(self.channels):
+            out += struct.pack(
+                "<fffI", res.angles_deg[c], res.peak_zero[c],
+                res.peak_min[c], int(res.found[c]))
+        return out
 
 
 class _SessionSurface:
@@ -207,10 +268,40 @@ def _handle(conn: socket.socket, meters: bool,
         _send_msg(conn, T_ERR, b"bad magic")
         return
     session: Optional[_Session] = None
+    analysis: Optional[_Analysis] = None
     while True:
         mtype, payload = _recv_msg(conn)
         if mtype == T_BYE:
             return
+        if mtype == T_ANALYZE_BEGIN:
+            try:
+                analysis = _Analysis(payload, pool)
+            except Exception as e:
+                _send_msg(conn, T_ERR, str(e).encode())
+                return
+            continue
+        if mtype == T_ANALYZE_DATA:
+            if analysis is None:
+                _send_msg(conn, T_ERR, b"ANALYZE_DATA before BEGIN")
+                return
+            try:
+                analysis.feed(payload)
+            except Exception as e:
+                _send_msg(conn, T_ERR, str(e).encode())
+                return
+            continue
+        if mtype == T_ANALYZE_END:
+            if analysis is None:
+                _send_msg(conn, T_ERR, b"ANALYZE_END before BEGIN")
+                return
+            try:
+                result = analysis.finish()
+            except Exception as e:
+                _send_msg(conn, T_ERR, str(e).encode()[:512])
+                return
+            analysis = None
+            _send_msg(conn, T_ANALYZE_OK, result)
+            continue
         if mtype == T_INIT:
             try:
                 rate, channels = struct.unpack("<II", payload)
@@ -393,16 +484,23 @@ class BridgeClient:
     """Python-side protocol client (tests + in-process tooling; the
     production clients are the native ones in native/)."""
 
-    def __init__(self, path: str, rate: int, channels: int):
+    def __init__(self, path: str, rate: int, channels: int,
+                 init: bool = True):
+        """``init=False`` skips the INIT handshake (no plugin session is
+        instantiated) — for analyze-only clients."""
         self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self.sock.connect(path)
+        self.rate = rate
         self.channels = channels
         self.sock.sendall(struct.pack("<I", MAGIC))
-        _send_msg(self.sock, T_INIT, struct.pack("<II", rate, channels))
-        mtype, payload = _recv_msg(self.sock)
-        if mtype != T_INIT_OK:
-            raise RuntimeError(payload.decode(errors="replace"))
-        self.latency, self.parsiz, _ = struct.unpack("<III", payload)
+        self.latency = self.parsiz = None
+        if init:
+            _send_msg(self.sock, T_INIT,
+                      struct.pack("<II", rate, channels))
+            mtype, payload = _recv_msg(self.sock)
+            if mtype != T_INIT_OK:
+                raise RuntimeError(payload.decode(errors="replace"))
+            self.latency, self.parsiz, _ = struct.unpack("<III", payload)
         self.levels: list = []
 
     def process(self, block: np.ndarray, angles) -> np.ndarray:
@@ -433,6 +531,38 @@ class BridgeClient:
         (rn,) = struct.unpack_from("<I", reply, 0)
         out = np.frombuffer(reply, np.float32, rn * self.channels, 4)
         return out.reshape(rn, self.channels).T.copy()
+
+    def analyze(self, audio: np.ndarray, stride: int = 24,
+                link_channels: bool = False, blksiz: int = 0,
+                chunk: int = 1 << 18):
+        """Offline min-peak search on the daemon (the CLI workflow over
+        the socket).  audio: (channels, n).  Returns a list of
+        per-channel dicts {angle_deg, peak_zero, peak_min, found}."""
+        x = np.atleast_2d(np.asarray(audio, np.float32))
+        ch, n = x.shape
+        _send_msg(self.sock, T_ANALYZE_BEGIN, struct.pack(
+            "<IIIII", self.rate, ch, int(link_channels), stride, blksiz))
+        inter = np.ascontiguousarray(x.T)
+        for pos in range(0, max(n, 1), chunk):
+            seg = inter[pos : pos + chunk]
+            _send_msg(self.sock, T_ANALYZE_DATA, struct.pack(
+                "<I", seg.shape[0]) + seg.tobytes())
+        _send_msg(self.sock, T_ANALYZE_END)
+        while True:
+            mtype, reply = _recv_msg(self.sock)
+            if mtype == T_ANALYZE_OK:
+                break
+            if 103 <= mtype <= 198:
+                continue
+            raise RuntimeError(reply.decode(errors="replace"))
+        (rc,) = struct.unpack_from("<I", reply, 0)
+        out = []
+        for c in range(rc):
+            a, pz, pm, found = struct.unpack_from("<fffI", reply,
+                                                  4 + 16 * c)
+            out.append({"angle_deg": a, "peak_zero": pz,
+                        "peak_min": pm, "found": bool(found)})
+        return out
 
     def close(self) -> None:
         try:

@@ -457,3 +457,91 @@ def test_daemon_pipelined_latency_and_stream(daemon_pipelined, daemon, rng):
     np.testing.assert_array_equal(y1[:, :extra], 0.0)
     np.testing.assert_array_equal(
         y1[:, extra:], y0[:, : y0.shape[1] - extra])
+
+
+def test_analyze_over_socket_matches_local(daemon, rng):
+    """The daemon ANALYZE protocol returns the same angles as a local
+    find_min_peak_angle (the CLI workflow over the socket)."""
+    from phaserotate_tpu.search import find_min_peak_angle
+
+    rate = 48000
+    t = np.arange(rate // 2) / rate
+    x = np.stack([
+        0.5 * np.sin(2 * np.pi * 100 * t)
+        + 0.3 * np.sin(2 * np.pi * 200 * t),
+        0.4 * np.sin(2 * np.pi * 150 * t)
+        + 0.25 * np.sin(2 * np.pi * 450 * t + 1.0),
+    ]).astype(np.float32)
+
+    cl = BridgeClient(daemon, rate, 2, init=False)
+    res = cl.analyze(x)
+    cl.close()
+    local = find_min_peak_angle(x, rate=rate)
+    assert len(res) == 2
+    for c in range(2):
+        assert res[c]["found"] == local.found[c]
+        assert res[c]["angle_deg"] == pytest.approx(
+            local.angles_deg[c], abs=1e-4)
+        assert res[c]["peak_min"] == pytest.approx(
+            local.peak_min[c], abs=1e-5)
+
+
+def test_analyze_chunked_equals_single_message(daemon, rng):
+    """ANALYZE_DATA chunking must not change the result."""
+    rate = 48000
+    x = (0.4 * rng.standard_normal((1, 40000))).astype(np.float32)
+    cl = BridgeClient(daemon, rate, 1, init=False)
+    a = cl.analyze(x, chunk=1 << 18)
+    b = cl.analyze(x, chunk=777)
+    cl.close()
+    assert a == b
+
+
+def test_analyze_validation_errors(daemon):
+    cl = BridgeClient(daemon, 48000, 1, init=False)
+    import struct as _s
+
+    from phaserotate_tpu.bridge import (
+        T_ANALYZE_BEGIN,
+        T_ANALYZE_DATA,
+        _recv_msg,
+        _send_msg,
+    )
+
+    # DATA before BEGIN
+    _send_msg(cl.sock, T_ANALYZE_DATA, _s.pack("<I", 0))
+    mtype, payload = _recv_msg(cl.sock)
+    assert mtype == 199 and b"before BEGIN" in payload
+    cl.sock.close()
+
+    cl = BridgeClient(daemon, 48000, 1, init=False)
+    _send_msg(cl.sock, T_ANALYZE_BEGIN,
+              _s.pack("<IIIII", 48000, 99, 0, 24, 0))  # bad channels
+    mtype, payload = _recv_msg(cl.sock)
+    assert mtype == 199 and b"channels" in payload
+    cl.sock.close()
+
+
+def test_native_bridge_analyze(daemon, native_built, tmp_path):
+    """prt_bridge -A: the full search workflow with no Python in the
+    client process, printing the CLI's result block."""
+    rate = 48000
+    t = np.arange(rate // 2) / rate
+    x = (0.5 * np.sin(2 * np.pi * 100 * t)
+         + 0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    from phaserotate_tpu.io import write_wav
+
+    src = str(tmp_path / "in.wav")
+    write_wav(src, x, rate)
+    r = subprocess.run(
+        [os.path.join(native_built, "prt_bridge"), "-s", daemon, "-A",
+         src],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "# Result -- Minimize digital peak" in r.stdout
+    assert "Channel:  1 Phase:" in r.stdout
+
+    from phaserotate_tpu.search import find_min_peak_angle
+
+    local = find_min_peak_angle(x, rate=rate)
+    assert f"{local.angles_deg[0]:5.2f} deg" in r.stdout
