@@ -162,10 +162,7 @@ void usage() {
           "  -f <n>      analysis block size (-A, 0 = from sample rate)\n");
 }
 
-float db_gain(float zero, float minv) {
-  if (zero < 1e-15f || minv < 1e-15f) return 0.0f;
-  return 20.0f * log10f(zero) - 20.0f * log10f(minv);
-}
+float db(float v);  // defined below with the streaming helpers
 
 int run_analyze(prt::Conn& conn, const Wav& in, uint16_t ch, bool link,
                 uint32_t stride, uint32_t blksiz) {
@@ -220,9 +217,7 @@ int run_analyze(prt::Conn& conn, const Wav& in, uint16_t ch, bool link,
       // cli.py's result line (mirrors cli/phase-rotate.cc:940-946)
       printf("Channel: %2u Phase: %5.2f deg, gain: %5.2f dB "
              "(att. %4.2f to %4.2f dBFS)\n",
-             c + 1, angle, db_gain(pz, pm),
-             pz > 1e-15f ? 20.0f * log10f(pz) : -200.0f,
-             pm > 1e-15f ? 20.0f * log10f(pm) : -200.0f);
+             c + 1, angle, db(pz) - db(pm), db(pz), db(pm));
     }
   }
   return 0;

@@ -132,20 +132,11 @@ struct Conn {
   // on any failure.  `latency_out` receives the engine latency.
   bool open(const char* path, uint32_t rate, uint32_t channels,
             uint32_t* latency_out) {
-    fd = socket(AF_UNIX, SOCK_STREAM, 0);
-    if (fd < 0) return false;
-    set_socket_deadline(fd);
-    sockaddr_un addr{};
-    addr.sun_family = AF_UNIX;
-    snprintf(addr.sun_path, sizeof addr.sun_path, "%s", path);
-    if (connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr)) {
-      close_fd();
-      return false;
-    }
+    if (!open_raw(path)) return false;
     uint32_t init[2] = {rate, channels};
     uint32_t type;
     std::vector<uint8_t> reply;
-    if (!send_exact(&kMagic, 4) || !send_msg(kInit, init, 8) ||
+    if (!send_msg(kInit, init, 8) ||
         !recv_reply(&type, &reply) || type != kInitOk ||
         reply.size() < 12) {
       close_fd();

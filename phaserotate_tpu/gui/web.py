@@ -106,10 +106,8 @@ _PAGE = """<!doctype html>
 <script>
 const S = document.getElementById('sessions');
 let dragging = null;   // {sid, chn, y0, a0}
-let lastState = {};
 
 function render(state) {
-  lastState = state;
   const sids = Object.keys(state.sessions);
   if (!sids.length) {
     S.innerHTML = '<i class="offline">no live engine sessions</i>';

@@ -29,6 +29,7 @@ from .wav import (
     WavFormatError,
     WavMetadata,
     _float_to_pcm,
+    _info_list_body,
     _parse_info_list,
     _pcm_to_float,
 )
@@ -138,18 +139,6 @@ def write_w64(path: str, audio: np.ndarray, rate: int,
     with open(path, "wb") as f:
         # riff size covers the whole file including this header
         f.write(_W64_RIFF + struct.pack("<Q", 24 + len(body)) + body)
-
-
-def _info_list_body(meta: WavMetadata) -> bytes:
-    """RIFF INFO subchunk stream (the format write_wav emits,
-    io/wav.py:210-216)."""
-    body = b""
-    for cid, text in meta.info.items():
-        t = text.encode("utf-8") + b"\x00"
-        if len(t) & 1:
-            t += b"\x00"
-        body += cid + struct.pack("<I", len(t)) + t
-    return body
 
 
 # ---- RF64 ------------------------------------------------------------------

@@ -108,6 +108,18 @@ def _parse_info_list(payload: bytes) -> Dict[bytes, str]:
     return info
 
 
+def _info_list_body(meta: "WavMetadata") -> bytes:
+    """RIFF INFO subchunk stream (shared by the WAV, W64, and RF64
+    writers)."""
+    body = b""
+    for cid, text in meta.info.items():
+        t = text.encode("utf-8") + b"\x00"
+        if len(t) & 1:
+            t += b"\x00"
+        body += cid + struct.pack("<I", len(t)) + t
+    return body
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     """Read a WAV file.
 
@@ -207,12 +219,7 @@ def write_wav(
                 b"cue " + struct.pack("<I", len(c)) + c
                 + (b"\x00" if len(c) & 1 else b""))
         if meta.info:
-            body = b"INFO"
-            for cid, text in meta.info.items():
-                t = text.encode("utf-8") + b"\x00"
-                if len(t) & 1:
-                    t += b"\x00"
-                body += cid + struct.pack("<I", len(t)) + t
+            body = b"INFO" + _info_list_body(meta)
             chunks.append(b"LIST" + struct.pack("<I", len(body)) + body)
 
     chunks.append(
