@@ -368,3 +368,50 @@ def test_device_pool_spreads_sessions(pool_daemon, rng):
     assert not np.allclose(y0[4096:], y1[4096:])
     for cl in cls:
         cl.close()
+
+
+def test_hostapp_web_flag_end_to_end(tmp_path, rng):
+    """phase-rotate-host --web PORT: the CLI mount serves the live
+    surface while the file processes."""
+    import re
+    import time as _time
+
+    from phaserotate_tpu.io import write_wav
+
+    rate = 48000
+    # long enough that --realtime pacing keeps serving while the test
+    # polls (startup costs several seconds before the server binds)
+    x = (0.3 * rng.standard_normal(30 * rate)).astype(np.float32)
+    src = str(tmp_path / "in.wav")
+    write_wav(src, x, rate)
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.hostapp", src,
+         str(tmp_path / "out.wav"), "-a", "25", "--web", str(port),
+         "--realtime"],
+        cwd=REPO, stderr=subprocess.PIPE, stdout=subprocess.DEVNULL,
+        text=True)
+    url = f"http://127.0.0.1:{port}/"
+    try:
+        state = None
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            try:
+                state = json.loads(_get(url + "state"))
+                break
+            except OSError:
+                _time.sleep(0.1)
+        assert state is not None, "web UI never came up"
+        s = state["sessions"]["0"]
+        assert s["rate"] == rate
+        assert s["angles"][0] == 25.0  # dial mirrors the -a port value
+        # live dial write reaches the in-flight processing loop
+        _post(url + "control", {"action": "dial", "session": "0",
+                                "channel": 0, "value": 90.0})
+        state = json.loads(_get(url + "state"))
+        assert state["sessions"]["0"]["angles"][0] == 90.0
+    finally:
+        out, err = proc.communicate(timeout=180)
+        assert proc.returncode == 0, err
+    assert re.search(r"web UI: http://127\.0\.0\.1:\d+/", err)
+    assert (tmp_path / "out.wav").exists()
