@@ -545,3 +545,45 @@ def test_native_bridge_analyze(daemon, native_built, tmp_path):
 
     local = find_min_peak_angle(x, rate=rate)
     assert f"{local.angles_deg[0]:5.2f} deg" in r.stdout
+
+
+@pytest.fixture(scope="module")
+def daemon_pipe16(tmp_path_factory):
+    sock = str(tmp_path_factory.mktemp("bridgep16") / "engine.sock")
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge",
+         "--socket", sock, "--ready-fd", str(w), "--pipeline", "16"],
+        pass_fds=(w,), cwd=REPO, stderr=subprocess.DEVNULL)
+    os.close(w)
+    assert os.read(r, 1) == b"R", "daemon failed to start"
+    os.close(r)
+    yield sock
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def test_lv2_shim_with_pipelined_daemon(native_built, daemon_pipe16,
+                                        rng, monkeypatch):
+    """The DAW-facing production path: dlopen'd LV2 shim against a
+    --pipeline 16 daemon.  The shim reports the pipeline-extended
+    latency, and the stream is the exact delayed image of the FIR
+    rotation (the host compensates via the latency port, like any
+    lookahead plugin)."""
+    monkeypatch.setenv("PHASEROTATE_TPU_SOCKET", daemon_pipe16)
+    rate, n, block = 48000, 12288, 512
+    x = (0.5 * rng.standard_normal(n)).astype(np.float32)
+    host = _Lv2Host(native_built, 0, rate, block)
+    assert host.h
+    lat_expected = 1792 + 16 * 256
+    flush = lat_expected + block
+    total = np.concatenate([x, np.zeros(flush, np.float32)])
+    outs = [host.run(total[None, i : i + block], 90.0)
+            for i in range(0, len(total) - block + 1, block)]
+    lat = int(host.latency[0])
+    host.close()
+    assert lat == lat_expected  # INIT_OK carries the pipeline delay
+    y = np.concatenate(outs, axis=1)[0]
+    want = np.asarray(rotate_fir(x, 90.0, rate=rate))
+    sl = slice(4096, n - 1)
+    np.testing.assert_allclose(y[lat:][sl], want[sl], atol=1e-4)
