@@ -587,3 +587,39 @@ def test_lv2_shim_with_pipelined_daemon(native_built, daemon_pipe16,
     want = np.asarray(rotate_fir(x, 90.0, rate=rate))
     sl = slice(4096, n - 1)
     np.testing.assert_allclose(y[lat:][sl], want[sl], atol=1e-4)
+
+
+def test_analyze_while_streaming(daemon, rng):
+    """An analyze client and a streaming client share the daemon: the
+    engine lock serializes device work, both get correct results."""
+    import threading
+
+    rate = 48000
+    t = np.arange(rate // 2) / rate
+    xa = (0.5 * np.sin(2 * np.pi * 100 * t)
+          + 0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    xs = (0.4 * rng.standard_normal((1, 8192))).astype(np.float32)
+
+    stream_out = []
+    def stream():
+        cl = BridgeClient(daemon, rate, 1)
+        for _ in range(6):
+            stream_out.append(cl.process(xs, 45.0))
+        cl.close()
+
+    th = threading.Thread(target=stream)
+    th.start()
+    ca = BridgeClient(daemon, rate, 1, init=False)
+    res = ca.analyze(xa[None])
+    ca.close()
+    th.join(timeout=120)
+    assert not th.is_alive()
+
+    from phaserotate_tpu.search import find_min_peak_angle
+
+    local = find_min_peak_angle(xa[None], rate=rate)
+    assert res[0]["angle_deg"] == pytest.approx(
+        local.angles_deg[0], abs=1e-4)
+    # the streaming client's signal is intact (post-latency energy)
+    y = np.concatenate(stream_out, axis=1)[0]
+    assert np.abs(y[4096:]).max() > 0.01
