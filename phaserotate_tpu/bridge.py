@@ -200,16 +200,23 @@ class _Session:
 
     def __init__(self, rate: int, channels: int, meters: bool,
                  engine_lock: threading.Lock, pipeline: int = 0,
-                 web_ui: bool = False, device: int = 0):
+                 web_ui: bool = False, device: int = 0,
+                 rtt_s: Optional[float] = None):
         from .hostapp import StandaloneHost
 
         if channels not in (1, 2):
             raise ValueError(f"channels must be 1 or 2, got {channels}")
         if not (8000 <= rate <= 768000):
             raise ValueError(f"implausible sample rate {rate}")
+        if pipeline < 0:  # auto: size the depth from the measured RTT
+            from .core.sizes import stream_geometry_for_rate
+
+            pipeline = auto_pipeline_depth(
+                rtt_s or 0.0, rate, stream_geometry_for_rate(rate).parsiz)
         self.channels = channels
         self.rate = rate
         self.device = device
+        self.pipeline = pipeline
         self.lock = engine_lock
         with engine_lock:  # plugin instantiate compiles on-device code
             self.host = StandaloneHost(rate, channels, block=MAX_FRAMES,
@@ -263,7 +270,8 @@ class _Session:
 def _handle(conn: socket.socket, meters: bool,
             pool: "DevicePool", pipeline: int = 0,
             registry: Optional[dict] = None,
-            sid_out: Optional[list] = None) -> None:
+            sid_out: Optional[list] = None,
+            rtt_s: Optional[float] = None) -> None:
     if struct.unpack("<I", _recv_exact(conn, 4))[0] != MAGIC:
         _send_msg(conn, T_ERR, b"bad magic")
         return
@@ -309,7 +317,7 @@ def _handle(conn: socket.socket, meters: bool,
                 session = _Session(rate, channels, meters, lock,
                                    pipeline=pipeline,
                                    web_ui=registry is not None,
-                                   device=device)
+                                   device=device, rtt_s=rtt_s)
                 if registry is not None:
                     sid = _register_session(registry, session)
                     if sid_out is not None:
@@ -353,6 +361,38 @@ def _handle(conn: socket.socket, meters: bool,
             return
 
 
+def measure_dispatch_rtt(reps: int = 5) -> float:
+    """Median seconds for a trivial dispatch + scalar readback — the
+    device round trip that bounds synchronous streaming (and sizes the
+    automatic pipeline depth)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    float(f(x)[0])  # compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(x)[0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def auto_pipeline_depth(rtt_s: float, rate: int, parsiz: int,
+                        margin: float = 2.0, max_depth: int = 64) -> int:
+    """Depth covering ``margin`` round trips of frame budget.
+
+    On a local device (rtt ~0.1 ms) this is 1 frame of lookahead; on a
+    remote tunnel (rtt ~40 ms) it lands around 16-32 at 48 kHz."""
+    frame_s = parsiz / float(rate)
+    depth = int(np.ceil(rtt_s * margin / frame_s))
+    return max(1, min(depth, max_depth))
+
+
 class DevicePool:
     """Round-robin accelerator assignment for daemon sessions.
 
@@ -393,13 +433,14 @@ def _register_session(registry: dict, session: "_Session") -> int:
 
 def _client_loop(conn: socket.socket, meters: bool,
                  pool: "DevicePool", pipeline: int = 0,
-                 registry: Optional[dict] = None) -> None:
+                 registry: Optional[dict] = None,
+                 rtt_s: Optional[float] = None) -> None:
     """Run one connection to completion with the per-client error
     containment the daemon guarantees: a bad or dead client is reported
     (when possible), dropped, and never takes the daemon down."""
     my_sids: list = []
     try:
-        _handle(conn, meters, pool, pipeline, registry, my_sids)
+        _handle(conn, meters, pool, pipeline, registry, my_sids, rtt_s)
     except (ConnectionError, socket.timeout):
         pass  # dead/silent client: drop quietly, keep serving others
     except Exception as e:  # a bad client must never kill the daemon
@@ -438,12 +479,20 @@ def serve(path: str, once: bool = False, meters: bool = False,
     session on http://127.0.0.1:<ui_port>/ (0 = ephemeral port);
     ``devices`` spreads sessions round-robin over that many
     accelerators (0 = all available), each with its own engine lock.
+    ``pipeline=-1`` measures the dispatch round trip once at startup
+    and sizes each session's depth to cover it (local chip -> ~1
+    frame, remote tunnel -> ~16-32).
     """
     try:
         os.unlink(path)
     except FileNotFoundError:
         pass
     pool = DevicePool(devices)
+    rtt_s: Optional[float] = None
+    if pipeline < 0:  # auto depth: measure the dispatch round trip once
+        rtt_s = measure_dispatch_rtt()
+        print(f"bridge: dispatch round trip {rtt_s * 1e3:.1f} ms -> "
+              "auto pipeline depth per session", file=sys.stderr)
     registry: Optional[dict] = None
     webui = None
     if ui_port is not None:
@@ -464,11 +513,12 @@ def serve(path: str, once: bool = False, meters: bool = False,
             if timeout is not None:
                 conn.settimeout(timeout)
             if once:
-                _client_loop(conn, meters, pool, pipeline, registry)
+                _client_loop(conn, meters, pool, pipeline, registry,
+                             rtt_s)
                 return
             threading.Thread(
                 target=_client_loop,
-                args=(conn, meters, pool, pipeline, registry),
+                args=(conn, meters, pool, pipeline, registry, rtt_s),
                 daemon=True).start()
     finally:
         if webui is not None:
@@ -590,7 +640,8 @@ def main(argv=None) -> int:
     ap.add_argument("--pipeline", type=int, default=0,
                     help="dispatch-pipeline depth in frames (adds "
                          "N*parsiz reported latency; makes per-block "
-                         "cost independent of device round-trip)")
+                         "cost independent of device round-trip); "
+                         "-1 = auto-size from the measured round trip")
     ap.add_argument("--ui-port", type=int, default=None,
                     help="serve the browser GUI for live sessions on "
                          "this port (0 = pick a free port)")

@@ -623,3 +623,44 @@ def test_analyze_while_streaming(daemon, rng):
     # the streaming client's signal is intact (post-latency energy)
     y = np.concatenate(stream_out, axis=1)[0]
     assert np.abs(y[4096:]).max() > 0.01
+
+
+def test_auto_pipeline_depth_sizing():
+    """Depth covers `margin` round trips of frame budget, clamped."""
+    from phaserotate_tpu.bridge import auto_pipeline_depth
+
+    # local device: ~0.1 ms RTT -> minimal lookahead
+    assert auto_pipeline_depth(1e-4, 48000, 256) == 1
+    # remote tunnel: 40 ms RTT @ 5.33 ms frames -> ~16
+    assert auto_pipeline_depth(0.040, 48000, 256) == 15
+    # absurd RTT clamps at the cap
+    assert auto_pipeline_depth(5.0, 48000, 256) == 64
+    # higher rates have bigger frames -> shallower pipelines
+    assert auto_pipeline_depth(0.040, 96000, 512) == 15
+
+
+def test_daemon_auto_pipeline(tmp_path_factory, rng):
+    """--pipeline -1: the daemon measures its round trip and sessions
+    get a sized depth; on the CPU test backend that is depth 1 (one
+    frame of extra latency)."""
+    sock = str(tmp_path_factory.mktemp("bridgeauto") / "engine.sock")
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge",
+         "--socket", sock, "--ready-fd", str(w), "--pipeline", "-1"],
+        pass_fds=(w,), cwd=REPO, stderr=subprocess.DEVNULL)
+    os.close(w)
+    assert os.read(r, 1) == b"R", "daemon failed to start"
+    os.close(r)
+    try:
+        cl = BridgeClient(sock, 48000, 1)
+        assert cl.latency >= 1792 + 256  # base + at least one frame
+        assert cl.latency <= 1792 + 64 * 256
+        x = (0.4 * rng.standard_normal((1, 4096))).astype(np.float32)
+        outs = [cl.process(x, 30.0) for _ in range(4)]
+        y = np.concatenate(outs, axis=1)[0]
+        assert np.abs(y[cl.latency:]).max() > 0.01  # real audio flows
+        cl.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
