@@ -335,3 +335,46 @@ def test_plugin_device_placement_and_parity(rng):
 def test_plugin_device_out_of_range():
     with pytest.raises(ValueError, match="device"):
         PhaseRotatePlugin(PLUGIN_URI, RATE, options={"device": 99})
+
+
+def test_pipelined_plugin_activate_resets_pipe(rng):
+    """activate() mid-stream clears the dispatch pipeline along with
+    the engine state: post-activate output equals a fresh instance
+    (src/phaserotate.c:511-520 reset semantics)."""
+    def fresh():
+        p = PhaseRotatePlugin(PLUGIN_URI, RATE, options={"pipeline": 3})
+        control, notify = [], []
+        angle = np.full(1, 40.0, np.float32)
+        io = np.zeros(512, np.float32)
+        p.connect_port(PortIndex.ATOM_CONTROL, control)
+        p.connect_port(PortIndex.ATOM_NOTIFY, notify)
+        p.connect_port(3, angle)
+        p.connect_port(4, io)
+        p.connect_port(5, io)
+        p.activate()
+        return p, io
+
+    rng2 = np.random.default_rng(12)
+    blocks = [rng2.standard_normal(512).astype(np.float32)
+              for _ in range(8)]
+
+    p, io = fresh()
+    for b in blocks[:4]:
+        io[:] = b
+        p.run(512)
+    p.activate()  # host reset mid-stream
+    out_reset = []
+    for b in blocks[4:]:
+        io[:] = b
+        p.run(512)
+        out_reset.append(io.copy())
+
+    q, io2 = fresh()
+    out_fresh = []
+    for b in blocks[4:]:
+        io2[:] = b
+        q.run(512)
+        out_fresh.append(io2.copy())
+
+    np.testing.assert_array_equal(
+        np.concatenate(out_reset), np.concatenate(out_fresh))
