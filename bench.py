@@ -71,20 +71,21 @@ def bench_rotate(rate=48000, seconds=60, batch=96):
     return batch * n / dt / rate  # x realtime
 
 
-_sweep_jit = None
+_sweep_jit = {}
 
 
 def _shared_sweep(geom):
-    """ONE jitted sweep shared by the device-only and end-to-end search
-    benches — identical input shapes, so the (expensive, uncacheable on
-    the remote compile helper) XLA compile happens once, not twice."""
-    global _sweep_jit
-    if _sweep_jit is None:
+    """ONE jitted sweep per geometry, shared by the device-only and
+    end-to-end search benches — identical input shapes, so the
+    (expensive, uncacheable on the remote compile helper) XLA compile
+    happens once per geometry, not per bench."""
+    key = geom.blksiz
+    if key not in _sweep_jit:
         from phaserotate_tpu.search.sweep import _sweep_impl
 
-        _sweep_jit = jax.jit(
+        _sweep_jit[key] = jax.jit(
             lambda x, s: _sweep_impl(x + s, geom, 4096))
-    return _sweep_jit
+    return _sweep_jit[key]
 
 
 def bench_search(rate=48000, seconds=10, batch=512):

@@ -59,7 +59,14 @@ T_ANALYZE_BEGIN, T_ANALYZE_DATA, T_ANALYZE_END = 4, 5, 6
 T_INIT_OK, T_PROC_OK, T_LEVELS, T_ERR = 101, 102, 103, 199
 T_ANALYZE_OK = 201  # NOT in the 103..198 informational range
 MAX_FRAMES = 1 << 20
-MAX_ANALYZE_FRAMES = 1 << 26  # ~23 min @ 48 kHz: bound daemon memory
+# bound daemon memory by accumulated SAMPLES (frames x channels), not
+# frames — 2^26 frames of 8-channel audio would otherwise buffer ~2 GiB
+# per connection; 2^26 samples is 256 MiB float32 (~23 min mono @48 kHz)
+MAX_ANALYZE_SAMPLES = 1 << 26
+# concurrent in-flight analyses are bounded too, so N clients cannot
+# multiply that cap into daemon OOM (excess connections get T_ERR)
+MAX_CONCURRENT_ANALYSES = 4
+_analyze_slots = threading.BoundedSemaphore(MAX_CONCURRENT_ANALYSES)
 DEFAULT_SOCKET = "/tmp/phaserotate_tpu.sock"
 
 __all__ = ["serve", "BridgeClient", "DEFAULT_SOCKET", "main"]
@@ -99,20 +106,30 @@ class _Analysis:
             raise ValueError(f"implausible sample rate {rate}")
         if not 1 <= channels <= 8:
             raise ValueError(f"channels must be 1..8, got {channels}")
+        if not _analyze_slots.acquire(blocking=False):
+            raise ValueError(
+                f"daemon busy: {MAX_CONCURRENT_ANALYSES} analyses "
+                "already in flight")
+        self._slot_held = True
         self.rate, self.channels = rate, channels
         self.link, self.stride, self.blksiz = bool(link), stride, blksiz
         self.device, self.lock = pool.assign()
         self.chunks: List[np.ndarray] = []
         self.frames = 0
 
+    def release(self) -> None:
+        if getattr(self, "_slot_held", False):
+            self._slot_held = False
+            _analyze_slots.release()
+
     def feed(self, payload: bytes) -> None:
         (n,) = struct.unpack_from("<I", payload, 0)
         want = 4 + 4 * n * self.channels
         if len(payload) != want:
             raise ValueError("bad ANALYZE_DATA payload")
-        if self.frames + n > MAX_ANALYZE_FRAMES:
+        if (self.frames + n) * self.channels > MAX_ANALYZE_SAMPLES:
             raise ValueError(
-                f"analysis exceeds {MAX_ANALYZE_FRAMES} frames")
+                f"analysis exceeds {MAX_ANALYZE_SAMPLES} samples")
         self.chunks.append(
             np.frombuffer(payload, np.float32, n * self.channels, 4))
         self.frames += n
@@ -163,9 +180,13 @@ class _SessionSurface:
 
     def _arm_override(self) -> None:
         s = self._s
-        s.ui_override = [float(s.host.angles[c][0])
-                         for c in range(s.channels)]
-        s._override_base = None  # adopt the next PROC's angles as base
+        # swap the (override, base) pair atomically: process() reads
+        # them together under the same lock, so a dial write from a web
+        # thread can't be torn against a stale base for a block
+        with s._ovr_mu:
+            s.ui_override = [float(s.host.angles[c][0])
+                             for c in range(s.channels)]
+            s._override_base = None  # adopt next PROC's angles as base
 
     def set_dial(self, chn: int, degrees: float) -> None:
         self._s.host.ui.dials[chn].set_value(float(degrees))
@@ -230,6 +251,7 @@ class _Session:
         # angles until the client itself moves them (latest writer wins)
         self.ui_override = None
         self._override_base = None
+        self._ovr_mu = threading.Lock()  # guards the pair above
         if meters or web_ui:
             from .plugin.protocol import UiOn
 
@@ -238,14 +260,15 @@ class _Session:
     def process(self, n: int, angles: np.ndarray,
                 samples: np.ndarray) -> Tuple[np.ndarray, Optional[list]]:
         x = samples.reshape(n, self.channels).T
-        if self.ui_override is not None:
-            if self._override_base is None:
-                self._override_base = angles.copy()
-            if np.array_equal(angles, self._override_base):
-                angles = np.asarray(self.ui_override, np.float32)
-            else:  # client moved its own dial/automation: it wins
-                self.ui_override = None
-                self._override_base = None
+        with self._ovr_mu:
+            if self.ui_override is not None:
+                if self._override_base is None:
+                    self._override_base = angles.copy()
+                if np.array_equal(angles, self._override_base):
+                    angles = np.asarray(self.ui_override, np.float32)
+                else:  # client moved its own dial/automation: it wins
+                    self.ui_override = None
+                    self._override_base = None
         for c in range(self.channels):
             self.host.angles[c][0] = angles[c]
         with self.lock:  # serialize device dispatch across clients
@@ -277,88 +300,98 @@ def _handle(conn: socket.socket, meters: bool,
         return
     session: Optional[_Session] = None
     analysis: Optional[_Analysis] = None
-    while True:
-        mtype, payload = _recv_msg(conn)
-        if mtype == T_BYE:
-            return
-        if mtype == T_ANALYZE_BEGIN:
-            try:
-                analysis = _Analysis(payload, pool)
-            except Exception as e:
-                _send_msg(conn, T_ERR, str(e).encode())
+    try:
+        while True:
+            mtype, payload = _recv_msg(conn)
+            if mtype == T_BYE:
                 return
-            continue
-        if mtype == T_ANALYZE_DATA:
-            if analysis is None:
-                _send_msg(conn, T_ERR, b"ANALYZE_DATA before BEGIN")
+            if mtype == T_ANALYZE_BEGIN:
+                try:
+                    analysis = _Analysis(payload, pool)
+                except Exception as e:
+                    _send_msg(conn, T_ERR, str(e).encode())
+                    return
+                continue
+            if mtype == T_ANALYZE_DATA:
+                if analysis is None:
+                    _send_msg(conn, T_ERR, b"ANALYZE_DATA before BEGIN")
+                    return
+                try:
+                    analysis.feed(payload)
+                except Exception as e:
+                    _send_msg(conn, T_ERR, str(e).encode())
+                    return
+                continue
+            if mtype == T_ANALYZE_END:
+                if analysis is None:
+                    _send_msg(conn, T_ERR, b"ANALYZE_END before BEGIN")
+                    return
+                try:
+                    result = analysis.finish()
+                except Exception as e:
+                    _send_msg(conn, T_ERR, str(e).encode()[:512])
+                    return
+                finally:
+                    analysis.release()
+                    analysis = None
+                _send_msg(conn, T_ANALYZE_OK, result)
+                continue
+            if mtype == T_INIT:
+                try:
+                    rate, channels = struct.unpack("<II", payload)
+                    device, lock = pool.assign()
+                    session = _Session(rate, channels, meters, lock,
+                                       pipeline=pipeline,
+                                       web_ui=registry is not None,
+                                       device=device, rtt_s=rtt_s)
+                    if registry is not None:
+                        sid = _register_session(registry, session)
+                        if sid_out is not None:
+                            sid_out.append(str(sid))
+                except Exception as e:  # validation error -> report, drop
+                    _send_msg(conn, T_ERR, str(e).encode())
+                    return
+                _send_msg(conn, T_INIT_OK, struct.pack(
+                    "<III", session.plugin.latency,
+                    session.plugin.geom.parsiz, channels))
+            elif mtype == T_PROC:
+                if session is None:
+                    _send_msg(conn, T_ERR, b"PROC before INIT")
+                    return
+                if len(payload) < 4:
+                    _send_msg(conn, T_ERR, b"short PROC payload")
+                    return
+                (n,) = struct.unpack_from("<I", payload, 0)
+                ch = session.channels
+                want = 4 + 4 * ch + 4 * n * ch
+                if n > MAX_FRAMES or len(payload) != want:
+                    _send_msg(conn, T_ERR, b"bad PROC payload")
+                    return
+                angles = np.frombuffer(payload, np.float32, ch, 4)
+                samples = np.frombuffer(payload, np.float32, n * ch,
+                                        4 + 4 * ch)
+                out, levels = session.process(n, angles, samples)
+                if levels is not None:
+                    # info messages precede the reply they belong to, so
+                    # a client reading until PROC_OK consumes them in
+                    # stride
+                    blob = struct.pack("<I", len(levels))
+                    for lv in levels:
+                        blob += struct.pack(
+                            "<I9f", lv.channel, lv.in_cur, lv.in_mom,
+                            lv.in_peak, lv.out_cur, lv.out_mom,
+                            lv.out_peak, lv.diff_cur, lv.diff_min,
+                            lv.diff_max)
+                    _send_msg(conn, T_LEVELS, blob)
+                _send_msg(conn, T_PROC_OK,
+                          struct.pack("<I", n) + out.tobytes())
+            else:
+                _send_msg(conn, T_ERR, f"unknown type {mtype}".encode())
                 return
-            try:
-                analysis.feed(payload)
-            except Exception as e:
-                _send_msg(conn, T_ERR, str(e).encode())
-                return
-            continue
-        if mtype == T_ANALYZE_END:
-            if analysis is None:
-                _send_msg(conn, T_ERR, b"ANALYZE_END before BEGIN")
-                return
-            try:
-                result = analysis.finish()
-            except Exception as e:
-                _send_msg(conn, T_ERR, str(e).encode()[:512])
-                return
-            analysis = None
-            _send_msg(conn, T_ANALYZE_OK, result)
-            continue
-        if mtype == T_INIT:
-            try:
-                rate, channels = struct.unpack("<II", payload)
-                device, lock = pool.assign()
-                session = _Session(rate, channels, meters, lock,
-                                   pipeline=pipeline,
-                                   web_ui=registry is not None,
-                                   device=device, rtt_s=rtt_s)
-                if registry is not None:
-                    sid = _register_session(registry, session)
-                    if sid_out is not None:
-                        sid_out.append(str(sid))
-            except Exception as e:  # validation error -> report, drop
-                _send_msg(conn, T_ERR, str(e).encode())
-                return
-            _send_msg(conn, T_INIT_OK, struct.pack(
-                "<III", session.plugin.latency, session.plugin.geom.parsiz,
-                channels))
-        elif mtype == T_PROC:
-            if session is None:
-                _send_msg(conn, T_ERR, b"PROC before INIT")
-                return
-            if len(payload) < 4:
-                _send_msg(conn, T_ERR, b"short PROC payload")
-                return
-            (n,) = struct.unpack_from("<I", payload, 0)
-            ch = session.channels
-            want = 4 + 4 * ch + 4 * n * ch
-            if n > MAX_FRAMES or len(payload) != want:
-                _send_msg(conn, T_ERR, b"bad PROC payload")
-                return
-            angles = np.frombuffer(payload, np.float32, ch, 4)
-            samples = np.frombuffer(payload, np.float32, n * ch, 4 + 4 * ch)
-            out, levels = session.process(n, angles, samples)
-            if levels is not None:
-                # info messages precede the reply they belong to, so a
-                # client reading until PROC_OK consumes them in stride
-                blob = struct.pack("<I", len(levels))
-                for lv in levels:
-                    blob += struct.pack(
-                        "<I9f", lv.channel, lv.in_cur, lv.in_mom,
-                        lv.in_peak, lv.out_cur, lv.out_mom, lv.out_peak,
-                        lv.diff_cur, lv.diff_min, lv.diff_max)
-                _send_msg(conn, T_LEVELS, blob)
-            _send_msg(conn, T_PROC_OK,
-                      struct.pack("<I", n) + out.tobytes())
-        else:
-            _send_msg(conn, T_ERR, f"unknown type {mtype}".encode())
-            return
+    finally:
+        # connection dropped mid-analysis: return the concurrency slot
+        if analysis is not None:
+            analysis.release()
 
 
 def measure_dispatch_rtt(reps: int = 5) -> float:

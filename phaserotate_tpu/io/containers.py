@@ -85,6 +85,8 @@ def read_w64(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
         payload = blob[pos + 24 : pos + size]
         fourcc = guid[:4]
         if fourcc == b"fmt ":
+            if len(payload) < 16:
+                raise WavFormatError(f"{path}: short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", payload, 0)
         elif fourcc == b"data":
             data = payload
@@ -157,31 +159,34 @@ def read_rf64(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
-        if cid == b"ds64":
-            body = blob[pos + 8 : pos + 8 + size]
-            if len(body) < 24:
-                raise WavFormatError(f"{path}: short ds64 chunk")
-            _, ds64_data_size, _ = struct.unpack_from("<QQQ", body, 0)
-        elif cid == b"data" and size == 0xFFFFFFFF:
+        # a data chunk carrying the 0xFFFFFFFF sentinel takes its real
+        # size from ds64 — resolve that BEFORE any bounds/payload work
+        if cid == b"data" and size == 0xFFFFFFFF:
             if ds64_data_size is None:
                 raise WavFormatError(
                     f"{path}: RF64 data chunk without ds64 size")
             size = ds64_data_size
-            data = blob[pos + 8 : pos + 8 + size]
-        elif cid == b"data":
-            data = blob[pos + 8 : pos + 8 + size]
-        elif cid == b"fmt ":
-            payload = blob[pos + 8 : pos + 8 + size]
-            fmt = struct.unpack_from("<HHIIHH", payload, 0)
-        elif cid == b"bext":
-            meta.bext = blob[pos + 8 : pos + 8 + size]
-        elif cid == b"cue ":
-            meta.cues = blob[pos + 8 : pos + 8 + size]
-        elif cid == b"LIST" and blob[pos + 8 : pos + 12] == b"INFO":
-            meta.info.update(
-                _parse_info_list(blob[pos + 12 : pos + 8 + size]))
+        # bounds-check before touching the payload so truncated files
+        # fail with the format-error contract, never a raw struct.error
         if pos + 8 + size > len(blob):
             raise WavFormatError(f"{path}: truncated {cid!r} chunk")
+        payload = blob[pos + 8 : pos + 8 + size]
+        if cid == b"ds64":
+            if len(payload) < 24:
+                raise WavFormatError(f"{path}: short ds64 chunk")
+            _, ds64_data_size, _ = struct.unpack_from("<QQQ", payload, 0)
+        elif cid == b"data":
+            data = payload
+        elif cid == b"fmt ":
+            if len(payload) < 16:
+                raise WavFormatError(f"{path}: short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, 0)
+        elif cid == b"bext":
+            meta.bext = payload
+        elif cid == b"cue ":
+            meta.cues = payload
+        elif cid == b"LIST" and payload[:4] == b"INFO":
+            meta.info.update(_parse_info_list(payload[4:]))
         pos += 8 + size + (size & 1)
 
     if fmt is None or data is None:
@@ -266,10 +271,17 @@ def read_caf(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
         (size,) = struct.unpack_from(">q", blob, pos + 4)
         if size == -1:  # last-chunk sentinel: runs to EOF
             size = len(blob) - pos - 12
+        elif size < 0:
+            # any other negative size is corruption; without this guard
+            # e.g. -12 would advance pos by zero and loop forever
+            raise WavFormatError(
+                f"{path}: negative {ctype!r} chunk size {size}")
         if pos + 12 + size > len(blob):
             raise WavFormatError(f"{path}: truncated {ctype!r} chunk")
         payload = blob[pos + 12 : pos + 12 + size]
         if ctype == b"desc":
+            if len(payload) < 32:
+                raise WavFormatError(f"{path}: short desc chunk")
             desc = struct.unpack(">d4sIIIII", payload[:32])
         elif ctype == b"data":
             data = payload[4:]  # skip the u32 edit count

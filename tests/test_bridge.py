@@ -664,3 +664,79 @@ def test_daemon_auto_pipeline(tmp_path_factory, rng):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_analyze_sample_cap_counts_channels(daemon):
+    """The analyze memory bound caps SAMPLES (frames x channels), so
+    8-channel uploads hit the limit 8x sooner than mono — the daemon
+    can no longer be pushed toward ~2 GiB per connection (advisor
+    finding on MAX_ANALYZE_FRAMES)."""
+    import struct as _s
+
+    from phaserotate_tpu.bridge import (
+        MAX_ANALYZE_SAMPLES,
+        T_ANALYZE_BEGIN,
+        T_ANALYZE_DATA,
+        _recv_msg,
+        _send_msg,
+    )
+
+    cl = BridgeClient(daemon, 48000, 8, init=False)
+    _send_msg(cl.sock, T_ANALYZE_BEGIN,
+              _s.pack("<IIIII", 48000, 8, 0, 24, 0))
+    # a frame count fine under the old frames-only cap but over the
+    # samples cap for 8 channels; declared length keeps the message
+    # header honest while staying tiny (mismatch -> error either way,
+    # but the cap must fire FIRST, proving it's checked on declared n)
+    n = MAX_ANALYZE_SAMPLES // 8 + 1
+    _send_msg(cl.sock, T_ANALYZE_DATA, _s.pack("<I", n))
+    mtype, payload = _recv_msg(cl.sock)
+    assert mtype == 199
+    assert b"exceeds" in payload or b"bad ANALYZE_DATA" in payload
+    cl.sock.close()
+
+
+def test_analyze_concurrency_bounded(daemon):
+    """At most MAX_CONCURRENT_ANALYSES analyses may hold buffers at
+    once; the next BEGIN is refused with a busy error and the slots are
+    returned when connections drop."""
+    import struct as _s
+
+    from phaserotate_tpu.bridge import (
+        MAX_CONCURRENT_ANALYSES,
+        T_ANALYZE_BEGIN,
+        _recv_msg,
+        _send_msg,
+    )
+
+    begin = _s.pack("<IIIII", 48000, 1, 0, 24, 0)
+    holders = []
+    try:
+        for _ in range(MAX_CONCURRENT_ANALYSES):
+            c = BridgeClient(daemon, 48000, 1, init=False)
+            _send_msg(c.sock, T_ANALYZE_BEGIN, begin)
+            holders.append(c)
+        extra = BridgeClient(daemon, 48000, 1, init=False)
+        _send_msg(extra.sock, T_ANALYZE_BEGIN, begin)
+        mtype, payload = _recv_msg(extra.sock)
+        assert mtype == 199 and b"busy" in payload
+        extra.sock.close()
+    finally:
+        for c in holders:
+            c.sock.close()
+    # dropped connections must return their slots: a fresh BEGIN works
+    import time as _t
+
+    for _ in range(50):
+        c = BridgeClient(daemon, 48000, 1, init=False)
+        _send_msg(c.sock, T_ANALYZE_BEGIN, begin)
+        c.sock.settimeout(5.0)
+        from phaserotate_tpu.bridge import T_ANALYZE_END
+
+        _send_msg(c.sock, T_ANALYZE_END)
+        mtype, _p = _recv_msg(c.sock)
+        c.sock.close()
+        if mtype == 201:
+            return
+        _t.sleep(0.1)  # slots free asynchronously as threads unwind
+    raise AssertionError("analysis slots were not returned")

@@ -217,3 +217,56 @@ def test_w64_rf64_metadata_passthrough(tmp_path):
         assert m.bext == meta.bext, ext
         assert m.cues == meta.cues, ext
         np.testing.assert_array_equal(y, _tone(n=500))
+
+
+def test_caf_negative_chunk_size_rejected(tmp_path):
+    """A corrupt CAF chunk size of e.g. -12 must raise, not hang: only
+    the -1 run-to-EOF sentinel is a legal negative size (advisor
+    finding: pos += 12 + size advanced zero bytes -> infinite loop)."""
+    p = str(tmp_path / "neg.caf")
+    write_caf(p, _tone(n=500), 48000)
+    blob = bytearray(open(p, "rb").read())
+    # first chunk header starts at offset 8: fourcc(4) + i64 size
+    for bad in (-12, -2, -(1 << 40)):
+        blob[12:20] = struct.pack(">q", bad)
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(WavFormatError, match="negative"):
+            read_caf(p)
+
+
+def test_caf_short_desc_rejected(tmp_path):
+    """A desc chunk shorter than its 32-byte body must fail as a
+    format error, not a raw struct.error."""
+    blob = (b"caff" + struct.pack(">HH", 1, 0)
+            + b"desc" + struct.pack(">q", 8) + b"\x00" * 8)
+    p = str(tmp_path / "short.caf")
+    open(p, "wb").write(blob)
+    with pytest.raises(WavFormatError, match="short desc"):
+        read_caf(p)
+
+
+def test_rf64_truncated_fmt_rejected_before_parse(tmp_path):
+    """RF64 bounds-checks chunk payloads BEFORE unpacking them: a fmt
+    chunk whose declared size runs past EOF raises WavFormatError."""
+    p = str(tmp_path / "t.rf64")
+    write_rf64(p, _tone(n=500), 48000)
+    blob = bytearray(open(p, "rb").read())
+    fmt_at = bytes(blob).index(b"fmt ")
+    # declare a fmt size far past EOF
+    blob[fmt_at + 4 : fmt_at + 8] = struct.pack("<I", 1 << 30)
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(WavFormatError, match="truncated"):
+        read_rf64(p)
+
+
+def test_w64_short_fmt_rejected(tmp_path):
+    """W64 fmt payload shorter than 16 bytes is a format error."""
+    from phaserotate_tpu.io.containers import _W64_RIFF, _w64_guid
+
+    fmt_chunk = _w64_guid(b"fmt ") + struct.pack("<Q", 24 + 8) + b"\x00" * 8
+    body = _w64_guid(b"wave") + fmt_chunk
+    blob = _W64_RIFF + struct.pack("<Q", 24 + len(body)) + body
+    p = str(tmp_path / "short.w64")
+    open(p, "wb").write(blob)
+    with pytest.raises(WavFormatError, match="short fmt"):
+        read_w64(p)
