@@ -75,17 +75,29 @@ _sweep_jit = {}
 
 
 def _shared_sweep(geom):
-    """ONE jitted sweep per geometry, shared by the device-only and
-    end-to-end search benches — identical input shapes, so the
-    (expensive, uncacheable on the remote compile helper) XLA compile
-    happens once per geometry, not per bench."""
+    """ONE jitted sweep per geometry, shared by the device-only,
+    in-memory, and on-disk search benches — identical input shapes and
+    dtype, so the (expensive, uncacheable on the remote compile helper)
+    XLA compile happens once per geometry, not per bench.
+
+    Takes RAW int16 PCM and dequantizes on device (the fleet ingest
+    path, search.sweep_peaks_aux_pcm16): half the host->device bytes of
+    float32, and the cast fuses into the sweep's first convolution.
+    ``s`` is a float shift applied post-dequantize so every iteration
+    sees distinct values without re-staging host data."""
     key = geom.blksiz
     if key not in _sweep_jit:
         from phaserotate_tpu.search.sweep import _sweep_impl
 
         _sweep_jit[key] = jax.jit(
-            lambda x, s: _sweep_impl(x + s, geom, 4096))
+            lambda x, s: _sweep_impl(
+                x.astype(jnp.float32) * (1.0 / 32768.0) + s, geom, 4096))
     return _sweep_jit[key]
+
+
+def _quantize16(x):
+    return np.clip(np.rint(np.asarray(x) * 32768.0), -32768,
+                   32767).astype(np.int16)
 
 
 def bench_search(rate=48000, seconds=10, batch=512):
@@ -94,8 +106,8 @@ def bench_search(rate=48000, seconds=10, batch=512):
     geom = OfflineGeometry(blksiz=8192)
     n = rate * seconds
     rng = np.random.default_rng(1)
-    x = jnp.asarray(
-        0.5 * rng.standard_normal((batch, 1, n)).astype(np.float32))
+    x = jnp.asarray(_quantize16(
+        0.5 * rng.standard_normal((batch, 1, n)).astype(np.float32)))
     sweep = _shared_sweep(geom)
     f = lambda x, s: jnp.sum(sweep(x, s)[0])  # noqa: E731
     dt = _medtime(f, lambda i: (x, 0.01 * i))
@@ -112,8 +124,8 @@ def bench_search_e2e(rate=48000, seconds=10, batch=512):
     geom = OfflineGeometry(blksiz=8192)
     n = rate * seconds
     rng = np.random.default_rng(2)
-    x = jnp.asarray(0.5 * rng.standard_normal((batch, 1, n)).astype(
-        np.float32))
+    x = jnp.asarray(_quantize16(
+        0.5 * rng.standard_normal((batch, 1, n)).astype(np.float32)))
     sweep = _shared_sweep(geom)
 
     def run_once(shift):
@@ -131,6 +143,125 @@ def bench_search_e2e(rate=48000, seconds=10, batch=512):
             run_once(0.01 * (2 + r * ITERS + i))
         runs.append((time.perf_counter() - t0) / ITERS)
     return batch / statistics.median(runs)
+
+
+def _make_disk_corpus(root, n_files=512, rate=48000, seconds=10,
+                      n_unique=16):
+    """BASELINE config 5 literally: an on-disk dataset of WAV + FLAC
+    files (10 s mono each).  ``n_unique`` distinct signals are
+    synthesized and encoded once; the rest are byte copies (decode cost
+    is content-independent, so copies measure the same work while
+    keeping corpus generation off the bench's critical path)."""
+    import shutil
+
+    from phaserotate_tpu.io import write_flac, write_wav
+
+    os.makedirs(root, exist_ok=True)
+    n = rate * seconds
+    rng = np.random.default_rng(7)
+    t = np.arange(n) / rate
+    uniq = []
+    for u in range(n_unique):
+        f0 = 55.0 * (u + 2)
+        x = (0.4 * np.sin(2 * np.pi * f0 * t)
+             + 0.2 * np.sin(2 * np.pi * 2.7 * f0 * t + 0.3 * u)
+             + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        uniq.append(x[None])
+    wavs, flacs = [], []
+    for ext, write, bucket in (
+            ("wav", lambda p, x: write_wav(p, x, rate, bits=16,
+                                           float_format=False), wavs),
+            ("flac", lambda p, x: write_flac(p, x, rate, bits=16), flacs)):
+        for u in range(n_unique):
+            p = os.path.join(root, f"u{u:02d}.{ext}")
+            write(p, uniq[u])
+            bucket.append(p)
+        i = 0
+        while len(bucket) < n_files:
+            p = os.path.join(root, f"c{i:04d}.{ext}")
+            shutil.copyfile(bucket[i % n_unique], p)
+            bucket.append(p)
+            i += 1
+    return wavs, flacs
+
+
+def bench_search_disk(rate=48000, seconds=10, batch=512,
+                      pipeline_batches=6):
+    """THE fleet number: read -> decode -> device sweep -> CLI-parity
+    selection, from real files on disk (the reference's whole search
+    workflow, cli/phase-rotate.cc:573-587 + 779-948).
+
+    Ingest is the raw-PCM path: 16-bit WAV/FLAC decode straight to an
+    int16 staging buffer (native FLAC decoder, no host floats) and
+    dequantize on device — half the tunnel bytes of float32.  The sweep
+    reuses the exact jitted program of bench_search (no extra compile).
+    Decode runs on the host's single core; the *sustained* mode
+    overlaps decoding batch k+1 with the device pass of batch k (what
+    any fleet pipeline does), the *serial* mode runs them back to back.
+
+    Returns {fmt: (serial_fps, sustained_fps)} for mixed/wav/flac.
+    """
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from phaserotate_tpu.core.sizes import OfflineGeometry
+    from phaserotate_tpu.io import read_audio_pcm16
+    from phaserotate_tpu.search.minimize import select_min_peak_angles_batch
+
+    geom = OfflineGeometry(blksiz=8192)
+    n = rate * seconds
+    root = tempfile.mkdtemp(prefix="prtcorpus")
+    wavs, flacs = _make_disk_corpus(root, n_files=batch, rate=rate,
+                                    seconds=seconds)
+    sweep = _shared_sweep(geom)
+    # preallocated, pre-touched staging buffers reused every pass: on
+    # this host FIRST touch of fresh anonymous memory costs ~0.7 ms per
+    # 4K page (lazy VM backing) — fresh per-file arrays would serialize
+    # ~1 GB of page faults into every pass
+    bufs = [np.empty((batch, 1, n), np.int16) for _ in range(2)]
+    for b in bufs:
+        b.fill(0)
+    io = ThreadPoolExecutor(1)
+
+    def decode_into(buf, paths):
+        for i, p in enumerate(paths):
+            a = read_audio_pcm16(p)[0]
+            buf[i, 0, :] = a[0, :n]
+
+    def device_pass(buf):
+        tables, rot0 = sweep(jnp.asarray(buf), 0.0)
+        return select_min_peak_angles_batch(
+            np.asarray(tables), rot0=np.asarray(rot0))
+
+    mixed = wavs[: batch // 2] + flacs[: batch - batch // 2]
+    results = {}
+    try:
+        decode_into(bufs[0], mixed)   # warm: pages + program + pools
+        device_pass(bufs[0])
+        for name, paths in (("mixed", mixed), ("wav", wavs),
+                            ("flac", flacs)):
+            runs = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                decode_into(bufs[0], paths)
+                device_pass(bufs[0])
+                runs.append(time.perf_counter() - t0)
+            serial = batch / statistics.median(runs)
+            decode_into(bufs[0], paths)  # fill the pipeline head
+            t0 = time.perf_counter()
+            for k in range(pipeline_batches):
+                fut = io.submit(decode_into, bufs[(k + 1) % 2], paths)
+                device_pass(bufs[k % 2])
+                fut.result()
+            sustained = (pipeline_batches * batch
+                         / (time.perf_counter() - t0))
+            results[name] = (serial, sustained)
+    finally:
+        io.shutdown()
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    return results
 
 
 def bench_stream(rate=48000, blocks=(64, 256, 1024), n_iters=24):
@@ -232,6 +363,7 @@ def main():
     rt = bench_rotate()
     fps = bench_search()
     fps_e2e = bench_search_e2e()
+    disk = bench_search_disk()
     sync = bench_stream()
     pipe_xrt, pipe_extra_ms, pipe_p99 = bench_stream_pipelined()
     rtt_ms, rtt_xrt, rtt_p99 = bench_daemon()
@@ -241,10 +373,19 @@ def main():
                 "metric": "rotate_x_realtime_mono48k",
                 "value": round(rt, 1),
                 "unit": "x_realtime_per_chip",
+                # the binding fleet ratio is the ON-DISK number: read ->
+                # decode -> sweep -> select from real files (round-3
+                # verdict #1); the in-memory figures remain for device
+                # headroom bookkeeping
                 "vs_baseline": round(
-                    min(rt / 1000.0, fps_e2e / 100.0), 3),
+                    min(rt / 1000.0, disk["mixed"][1] / 100.0), 3),
                 "search_files_per_s": round(fps, 1),
-                "search_files_per_s_e2e": round(fps_e2e, 1),
+                "search_files_per_s_inmem": round(fps_e2e, 1),
+                "search_files_per_s_disk": round(disk["mixed"][1], 1),
+                "search_disk_serial_fps": {
+                    k: round(v[0], 1) for k, v in disk.items()},
+                "search_disk_sustained_fps": {
+                    k: round(v[1], 1) for k, v in disk.items()},
                 # single-stream real-time margin (round-2 verdict #1):
                 # sync = one device round trip per frame (honest tunnel
                 # floor); pipelined = depth-16 dispatch pipeline, the

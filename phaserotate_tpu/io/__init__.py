@@ -10,7 +10,7 @@ from .containers import (
     write_rf64,
     write_w64,
 )
-from .audio import read_audio, write_audio
+from .audio import read_audio, read_audio_pcm16, write_audio
 from .flac import FlacFormatError, read_flac, write_flac
 from .wav import WavFormatError, WavMetadata, read_wav, write_wav
 
@@ -20,6 +20,7 @@ __all__ = [
     "WavMetadata",
     "read_aiff",
     "read_audio",
+    "read_audio_pcm16",
     "read_caf",
     "read_flac",
     "read_rf64",

@@ -25,10 +25,12 @@ from .containers import (
     write_rf64,
     write_w64,
 )
-from .flac import is_flac, read_flac, write_flac
-from .wav import WavFormatError, WavMetadata, read_wav, write_wav
+from .flac import FlacFormatError, is_flac, read_flac, read_flac_pcm16, \
+    write_flac
+from .wav import WavFormatError, WavMetadata, read_wav, read_wav_pcm16, \
+    write_wav
 
-__all__ = ["read_audio", "write_audio"]
+__all__ = ["read_audio", "read_audio_pcm16", "write_audio"]
 
 _AIFF_EXT = (".aiff", ".aif", ".aifc")
 
@@ -49,6 +51,29 @@ def read_audio(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     if is_caf(head):
         return read_caf(path)
     return read_wav(path)
+
+
+def read_audio_pcm16(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
+    """Read any supported file as ((ch, n) int16 PCM, rate, meta).
+
+    Fleet ingest path: 16-bit WAV and FLAC decode straight to int16
+    with NO host float conversion (half the bytes to ship to a device;
+    dequantize there — search.sweep_peaks_aux_pcm16).  Every other
+    format/depth falls back to the float reader + quantization, which
+    is value-identical for material that originated at 16 bit.
+    """
+    with open(path, "rb") as f:
+        head = f.read(16)
+    try:
+        if is_flac(head):
+            return read_flac_pcm16(path)
+        if head[:4] == b"RIFF":
+            return read_wav_pcm16(path)
+    except (WavFormatError, FlacFormatError):
+        pass  # not 16-bit PCM (or no native decoder): quantize below
+    audio, rate, meta = read_audio(path)
+    q = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+    return q, rate, meta
 
 
 def _sniff(path: str) -> str:

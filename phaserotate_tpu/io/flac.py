@@ -304,12 +304,9 @@ def _read_subframe(br: _BitReader, blocksize: int,
     return out
 
 
-def read_flac(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
-    """Decode a FLAC file -> ((channels, n) float32 in [-1, 1], rate,
-    metadata).  Vorbis comments map onto the INFO string table the WAV
-    metadata carries (TITLE->INAM etc.)."""
-    with open(path, "rb") as f:
-        data = f.read()
+def _read_flac_header(data: bytes):
+    """Parse the metadata section -> (frame_pos, rate, channels, bits,
+    total, meta) — shared by the float and raw-PCM readers."""
     if not is_flac(data):
         raise FlacFormatError("not a FLAC stream")
 
@@ -346,24 +343,67 @@ def read_flac(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     total = br.read_uint(36)
     if rate == 0:
         raise FlacFormatError("invalid sample rate")
+    return pos, rate, channels, bits, total, meta
 
-    chans: List[List[np.ndarray]] = [[] for _ in range(channels)]
-    decoded = 0
-    while pos < len(data) and (total == 0 or decoded < total):
-        pos, block = _read_frame(data, pos, channels, bits)
-        for c in range(channels):
-            chans[c].append(block[c])
-        decoded += block.shape[1]
 
-    if decoded:
-        audio = np.concatenate(
-            [np.concatenate(ch)[None] for ch in chans], axis=0)
-    else:  # zero-frame stream (e.g. an empty encode): valid, empty
-        audio = np.zeros((channels, 0), np.int64)
+def read_flac(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
+    """Decode a FLAC file -> ((channels, n) float32 in [-1, 1], rate,
+    metadata).  Vorbis comments map onto the INFO string table the WAV
+    metadata carries (TITLE->INAM etc.)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    pos, rate, channels, bits, total, meta = _read_flac_header(data)
+
+    audio = None
+    if total:
+        # fast path: native frame decoder (native/flac_decode.cc); any
+        # decode error falls through to the pure-Python reference
+        # decoder below, which owns the exact error messages
+        from . import native as _native
+
+        audio = _native.flac_decode(data, pos, channels, bits, total)
+    if audio is None:
+        chans: List[List[np.ndarray]] = [[] for _ in range(channels)]
+        decoded = 0
+        while pos < len(data) and (total == 0 or decoded < total):
+            pos, block = _read_frame(data, pos, channels, bits)
+            for c in range(channels):
+                chans[c].append(block[c])
+            decoded += block.shape[1]
+
+        if decoded:
+            audio = np.concatenate(
+                [np.concatenate(ch)[None] for ch in chans], axis=0)
+        else:  # zero-frame stream (e.g. an empty encode): valid, empty
+            audio = np.zeros((channels, 0), np.int64)
     if total:
         audio = audio[:, :total]
     scale = float(1 << (bits - 1))
     return (audio.astype(np.float32) / scale, rate, meta)
+
+
+def read_flac_pcm16(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
+    """Decode a 16-bit FLAC straight to int16 PCM (no host floats).
+
+    Returns ``((channels, n) int16, rate, metadata)`` — the raw-PCM
+    ingest path for device-side dequantization.  Requires a 16-bit
+    stream with a known total and the native decoder; raises
+    FlacFormatError otherwise (callers fall back to :func:`read_flac`
+    + quantize, which is value-identical for 16-bit sources).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    pos, rate, channels, bits, total, meta = _read_flac_header(data)
+    if bits != 16:
+        raise FlacFormatError(f"{path}: not a 16-bit stream ({bits} bit)")
+    if not total:
+        raise FlacFormatError(f"{path}: unknown total sample count")
+    from . import native as _native
+
+    audio = _native.flac_decode(data, pos, channels, bits, total)
+    if audio is None:
+        raise FlacFormatError(f"{path}: native FLAC decode unavailable")
+    return audio[:, :total].astype(np.int16), rate, meta
 
 
 def _read_frame(data: bytes, pos: int, channels: int,

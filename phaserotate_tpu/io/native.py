@@ -24,6 +24,7 @@ __all__ = [
     "f32_to_pcm16",
     "pcm24_to_f32",
     "f32_to_pcm24",
+    "flac_decode",
     "Ring",
 ]
 
@@ -84,6 +85,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.prt_ring_write.argtypes = [ctypes.c_void_p, f32p, ctypes.c_size_t]
     lib.prt_ring_read.restype = ctypes.c_size_t
     lib.prt_ring_read.argtypes = [ctypes.c_void_p, f32p, ctypes.c_size_t]
+    try:  # added after the first library revision: absence is fine
+        lib.prt_flac_decode.restype = ctypes.c_int64
+        lib.prt_flac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int64]
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
@@ -198,6 +208,33 @@ def f32_to_pcm24(x: np.ndarray) -> np.ndarray:
         _fptr(x), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         x.size)
     return out
+
+
+def flac_decode(data: bytes, frame_start: int, channels: int,
+                stream_bits: int, total: int) -> Optional[np.ndarray]:
+    """Decode the frame section of a FLAC stream natively.
+
+    Returns (channels, decoded) int32 planar samples, or None when the
+    native library is unavailable or the decoder reports any error —
+    the caller then uses the pure-Python reference decoder (which also
+    owns the error-message surface for corrupt files).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "prt_flac_decode"):
+        return None
+    # frames may legally run past STREAMINFO's total (the Python
+    # decoder truncates afterwards): leave one max-blocksize of margin
+    stride = int(total) + 65536
+    out = np.empty((channels, stride), np.int32)
+    buf = np.frombuffer(data, np.uint8)
+    rc = int(lib.prt_flac_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        frame_start, channels, stream_bits,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), stride,
+        int(total)))
+    if rc < 0:
+        return None
+    return out[:, :rc]
 
 
 class Ring:

@@ -120,12 +120,9 @@ def _info_list_body(meta: "WavMetadata") -> bytes:
     return body
 
 
-def read_wav(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
-    """Read a WAV file.
-
-    Returns ``(audio, rate, metadata)`` where audio is (channels, n)
-    float32 in [-1, 1] (libsndfile's normalization conventions).
-    """
+def _read_wav_chunks(path: str):
+    """Walk the RIFF chunks -> (wformat, bits, channels, rate, data,
+    meta) — the shared front half of the float and raw-PCM readers."""
     with open(path, "rb") as f:
         blob = f.read()
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
@@ -169,7 +166,35 @@ def read_wav(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     if channels < 1 or rate < 1:
         raise WavFormatError(
             f"{path}: bad fmt chunk ({channels} channels @ {rate} Hz)")
+    return wformat, bits, channels, rate, data, meta
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
+    """Read a WAV file.
+
+    Returns ``(audio, rate, metadata)`` where audio is (channels, n)
+    float32 in [-1, 1] (libsndfile's normalization conventions).
+    """
+    wformat, bits, channels, rate, data, meta = _read_wav_chunks(path)
     flat = _pcm_to_float(data, bits, wformat)
+    n = len(flat) // channels
+    audio = flat[: n * channels].reshape(n, channels).T.copy()
+    return audio, rate, meta
+
+
+def read_wav_pcm16(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
+    """Read a 16-bit PCM WAV without float conversion.
+
+    Returns ``((channels, n) int16, rate, metadata)`` — the raw-PCM
+    ingest path for device-side dequantization (sweep_peaks_aux_pcm16).
+    Raises WavFormatError for any other sample format; callers fall
+    back to :func:`read_wav` + quantize.
+    """
+    wformat, bits, channels, rate, data, meta = _read_wav_chunks(path)
+    if wformat != 1 or bits != 16:
+        raise WavFormatError(
+            f"{path}: not 16-bit integer PCM (fmt {wformat}, {bits} bit)")
+    flat = np.frombuffer(data, "<i2")
     n = len(flat) // channels
     audio = flat[: n * channels].reshape(n, channels).T.copy()
     return audio, rate, meta

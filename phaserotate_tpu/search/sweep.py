@@ -39,7 +39,8 @@ from ..core.fir import offline_fir_spectrum
 from ..core.sizes import OfflineGeometry
 from ..ops.convolve import partitioned_convolve
 
-__all__ = ["sweep_peaks", "sweep_peaks_aux", "apply_angles", "hilbert_offline"]
+__all__ = ["sweep_peaks", "sweep_peaks_aux", "sweep_peaks_aux_pcm16",
+           "apply_angles", "hilbert_offline"]
 
 
 def _offline_frames(x: jnp.ndarray, parsiz: int) -> int:
@@ -167,6 +168,30 @@ def sweep_peaks_aux(audio, geom: OfflineGeometry, chunk: int = 4096):
     aux peak needed for bit-exact fine-pass parity (see minimize.py)."""
     x = jnp.asarray(audio, jnp.float32)
     return _sweep_impl(x, geom, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "chunk"))
+def _sweep_impl_pcm16(x, geom: OfflineGeometry, chunk: int):
+    # dequantize on device (int16/32768, the PCM convention of
+    # _pcm_to_float in io/wav.py) — fuses into the first convolution
+    return _sweep_impl(x.astype(jnp.float32) * (1.0 / 32768.0),
+                       geom, chunk)
+
+
+def sweep_peaks_aux_pcm16(audio_i16, geom: OfflineGeometry,
+                          chunk: int = 4096):
+    """:func:`sweep_peaks_aux` over raw int16 PCM.
+
+    Fleet ingest path: ships HALF the bytes of float32 over the
+    host->device link and dequantizes on device, where the cast fuses
+    into the sweep's first convolution.  Pair with
+    ``io.read_audio_pcm16`` so a 16-bit file goes disk -> device
+    without ever materializing host-side floats.
+    """
+    x = jnp.asarray(audio_i16)
+    if x.dtype != jnp.int16:
+        raise TypeError(f"expected int16 PCM, got {x.dtype}")
+    return _sweep_impl_pcm16(x, geom, chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("geom",))

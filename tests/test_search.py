@@ -303,3 +303,49 @@ def test_link_channels_mode(rng):
     # both must be valid results; linked channels share candidate windows
     assert len(r_lnk.angles_units) == 2
     assert all(isinstance(a, int) for a in r_lnk.angles_units)
+
+
+def test_pcm16_sweep_matches_float(rng):
+    """The raw-PCM ingest path (int16 shipped to device, dequantized
+    in-graph) produces bit-identical tables to the float path on the
+    same quantized material — the fleet pipeline's correctness
+    contract (io.read_audio_pcm16 + sweep_peaks_aux_pcm16)."""
+    from phaserotate_tpu.search.sweep import sweep_peaks_aux_pcm16
+
+    x = make_signal(rng, 2, 4000)
+    q = np.clip(np.rint(np.asarray(x) * 32768.0), -32768,
+                32767).astype(np.int16)
+    t_f, r_f = sweep_peaks_aux(q.astype(np.float32) / 32768.0, GEOM)
+    t_q, r_q = sweep_peaks_aux_pcm16(q, GEOM)
+    np.testing.assert_array_equal(np.asarray(t_q), np.asarray(t_f))
+    np.testing.assert_array_equal(np.asarray(r_q), np.asarray(r_f))
+
+
+def test_pcm16_sweep_rejects_wrong_dtype(rng):
+    from phaserotate_tpu.search.sweep import sweep_peaks_aux_pcm16
+
+    with pytest.raises(TypeError, match="int16"):
+        sweep_peaks_aux_pcm16(np.zeros((1, 2048), np.float32), GEOM)
+
+
+def test_read_audio_pcm16_fleet_roundtrip(tmp_path, rng):
+    """read_audio_pcm16 + device dequantize equals read_audio float for
+    16-bit WAV and FLAC sources (the two fast no-float decode paths)."""
+    from phaserotate_tpu.io import (
+        read_audio,
+        read_audio_pcm16,
+        write_flac,
+        write_wav,
+    )
+
+    x = np.asarray(make_signal(rng, 1, 6000))
+    for ext, w in (("wav", lambda p: write_wav(p, x, 48000, bits=16,
+                                               float_format=False)),
+                   ("flac", lambda p: write_flac(p, x, 48000, bits=16))):
+        p = str(tmp_path / f"t.{ext}")
+        w(p)
+        a16, r16, _ = read_audio_pcm16(p)
+        af, rf, _ = read_audio(p)
+        assert a16.dtype == np.int16 and r16 == rf == 48000
+        np.testing.assert_array_equal(
+            a16.astype(np.float32) / 32768.0, af)
