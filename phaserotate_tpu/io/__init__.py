@@ -12,10 +12,13 @@ from .containers import (
 )
 from .audio import read_audio, read_audio_pcm16, write_audio
 from .flac import FlacFormatError, read_flac, write_flac
+from .vorbis import OggFormatError, read_ogg
+from .vorbisenc import write_ogg
 from .wav import WavFormatError, WavMetadata, read_wav, write_wav
 
 __all__ = [
     "FlacFormatError",
+    "OggFormatError",
     "WavFormatError",
     "WavMetadata",
     "read_aiff",
@@ -23,6 +26,7 @@ __all__ = [
     "read_audio_pcm16",
     "read_caf",
     "read_flac",
+    "read_ogg",
     "read_rf64",
     "read_w64",
     "read_wav",
@@ -30,6 +34,7 @@ __all__ = [
     "write_audio",
     "write_caf",
     "write_flac",
+    "write_ogg",
     "write_rf64",
     "write_w64",
     "write_wav",

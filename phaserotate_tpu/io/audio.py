@@ -27,6 +27,7 @@ from .containers import (
 )
 from .flac import FlacFormatError, is_flac, read_flac, read_flac_pcm16, \
     write_flac
+from .vorbis import is_ogg, read_ogg
 from .wav import WavFormatError, WavMetadata, read_wav, read_wav_pcm16, \
     write_wav
 
@@ -36,14 +37,16 @@ _AIFF_EXT = (".aiff", ".aif", ".aifc")
 
 
 def read_audio(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
-    """Read WAV, AIFF, FLAC, W64, RF64, or CAF (sniffed by magic)
-    -> ((ch, n) f32, rate, meta)."""
+    """Read WAV, AIFF, FLAC, Ogg Vorbis, W64, RF64, or CAF (sniffed by
+    magic) -> ((ch, n) f32, rate, meta)."""
     with open(path, "rb") as f:
         head = f.read(16)
     if is_aiff(head):
         return read_aiff(path)
     if is_flac(head):
         return read_flac(path)
+    if is_ogg(head):
+        return read_ogg(path)
     if is_w64(head):
         return read_w64(path)
     if is_rf64(head):
@@ -86,6 +89,8 @@ def _sniff(path: str) -> str:
         return "aiff"
     if is_flac(head):
         return "flac"
+    if is_ogg(head):
+        return "ogg"
     if is_w64(head):
         return "w64"
     if is_rf64(head):
@@ -110,12 +115,24 @@ def write_audio(
     inherits the input's major format."""
     lower = path.lower()
     known = lower.endswith(
-        (".wav",) + _AIFF_EXT + (".flac", ".w64", ".rf64", ".caf"))
+        (".wav",) + _AIFF_EXT + (".flac", ".ogg", ".oga",
+                                 ".w64", ".rf64", ".caf"))
     inherited = "" if known or like is None else _sniff(like)
     if lower.endswith(_AIFF_EXT) or inherited == "aiff":
         write_aiff(path, audio, rate, meta)
     elif lower.endswith(".flac") or inherited == "flac":
         write_flac(path, audio, rate, meta)
+    elif lower.endswith((".ogg", ".oga")) or inherited == "ogg":
+        from .vorbisenc import write_ogg
+
+        comments = None
+        if meta is not None and meta.info:
+            from .vorbis import _VORBIS_TO_INFO
+
+            inv = {v: k for k, v in _VORBIS_TO_INFO.items()}
+            comments = {inv[tag]: val for tag, val in meta.info.items()
+                        if tag in inv}
+        write_ogg(path, audio, rate, comments=comments)
     elif lower.endswith(".w64") or inherited == "w64":
         write_w64(path, audio, rate, meta)
     elif lower.endswith(".rf64") or inherited == "rf64":
