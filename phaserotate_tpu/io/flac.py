@@ -10,9 +10,12 @@ actually exchange, so the framework carries its own codec:
   escape codes), all channel assignments (independent, left/side,
   right/side, mid/side), 8/16/20/24/32-bit samples, frame-header CRC-8
   and frame CRC-16 verification.
-* **Encoder**: FIXED predictors with per-frame order search and
-  per-partition Rice parameter selection — genuinely compressed,
-  spec-conformant output (decodable by any FLAC reader), 16/24-bit.
+* **Encoder**: LPC (orders <= 12, Levinson-Durbin on a Welch-windowed
+  autocorrelation, 15-bit quantized coefficients with error feedback)
+  with FIXED predictors (orders 0-4) as candidates, per-frame model
+  search by exact Rice cost, per-partition Rice parameter selection —
+  genuinely compressed, spec-conformant output (decodable by any FLAC
+  reader), 16/24-bit.
 
 Layout follows the public FLAC format specification (xiph.org/flac);
 this is an independent implementation, not derived from libFLAC.
@@ -571,6 +574,108 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
     return r
 
 
+def _partition_order(bs: int, order: int) -> int:
+    """Partition order used by _write_residual (partitions ~256
+    samples) — shared so cost estimates match what gets written."""
+    po = 0
+    while (bs >> (po + 1)) >= 256 and bs % (1 << (po + 1)) == 0 and \
+            (bs >> (po + 1)) > order:
+        po += 1
+    return po
+
+
+def _residual_cost(resid: np.ndarray, order: int, bs: int) -> int:
+    """Exact Rice-coded bit count _write_residual would produce."""
+    po = _partition_order(bs, order)
+    cost = 2 + 4 + 4 * (1 << po)  # method + order + per-partition params
+    idx = 0
+    for p in range(1 << po):
+        n = (bs >> po) - (order if p == 0 else 0)
+        part = resid[idx : idx + n]
+        idx += n
+        k = min(_best_rice_param(part), 14)
+        z = (np.abs(part.astype(np.int64)) << 1) - (part < 0)
+        cost += int(np.sum(z >> k)) + (k + 1) * len(z)
+    return cost
+
+
+_MAX_LPC_ORDER = 12
+_LPC_PRECISION = 15  # quantized coefficient bits (qlp precision)
+
+
+def _lpc_analyze(x: np.ndarray, max_order: int):
+    """Welch-windowed autocorrelation + Levinson-Durbin.
+
+    Returns (coefs_per_order, err_per_order): float64 LPC coefficients
+    and prediction-error energies for orders 1..max_order."""
+    n = len(x)
+    w = 1.0 - (2.0 * np.arange(n) / (n - 1) - 1.0) ** 2  # Welch window
+    xf = x.astype(np.float64) * w
+    auto = np.empty(max_order + 1)
+    for lag in range(max_order + 1):
+        auto[lag] = np.dot(xf[: n - lag], xf[lag:])
+    if auto[0] == 0.0:
+        return [], []
+    err = auto[0]
+    lpc = np.zeros(max_order)
+    coefs, errs = [], []
+    for i in range(max_order):
+        acc = auto[i + 1]
+        for j in range(i):
+            acc -= lpc[j] * auto[i - j]
+        k = acc / err
+        lpc[i] = k
+        half = i >> 1
+        for j in range(half):
+            t = lpc[j]
+            lpc[j] = t - k * lpc[i - 1 - j]
+            lpc[i - 1 - j] -= k * t
+        if i & 1:
+            lpc[half] -= k * lpc[half]
+        err *= 1.0 - k * k
+        coefs.append(lpc[: i + 1].copy())
+        errs.append(max(err, 0.0))
+    return coefs, errs
+
+
+def _quantize_lpc(coefs: np.ndarray, precision: int):
+    """-> (qcoefs int list, shift) with error-feedback rounding, or
+    None when the coefficients cannot be represented."""
+    cmax = float(np.max(np.abs(coefs)))
+    if cmax <= 0.0 or not np.isfinite(cmax):
+        return None
+    # largest shift keeping every quantized value within precision bits
+    log2cmax = int(np.floor(np.log2(cmax)))
+    shift = precision - 1 - log2cmax - 1
+    if shift > 15:
+        shift = 15  # the stream field is SIGNED 5-bit: 15 is the max
+    if shift < 0:
+        return None  # coefficient magnitude too large for the format
+    qmax = (1 << (precision - 1)) - 1
+    qmin = -(1 << (precision - 1))
+    q = []
+    error = 0.0
+    for c in coefs:
+        v = c * (1 << shift) + error
+        qi = int(np.rint(v))
+        if qi > qmax:
+            qi = qmax
+        elif qi < qmin:
+            qi = qmin
+        error = v - qi
+        q.append(qi)
+    return q, shift
+
+
+def _lpc_residual(x: np.ndarray, qcoefs, shift: int) -> np.ndarray:
+    """Exact integer LPC residual: r[i] = x[i] - (sum qc[j]*x[i-1-j]
+    >> shift) — the inverse of the decoder's predict_lpc."""
+    order = len(qcoefs)
+    c = np.asarray(qcoefs, np.int64)
+    pred = np.convolve(x.astype(np.int64), c)[order - 1 : len(x) - 1]
+    return x[order:].astype(np.int64) - (pred >> shift)
+
+
 def write_flac(path: str, audio: np.ndarray, rate: int,
                meta: Optional[WavMetadata] = None,
                bits: int = 16, blocksize: int = 4096) -> None:
@@ -687,24 +792,72 @@ def _encode_frame(blk: np.ndarray, frame_no: int, rate: int,
 
 def _encode_subframe(bw: _BitWriter, x: np.ndarray, bits: int,
                      bs: int) -> None:
+    """Model search: CONSTANT, best FIXED order 0-4, best LPC order
+    <= 12 — whichever costs the fewest bits by exact Rice accounting
+    (the role of libFLAC's -5 level: windowed LPC with one quantized
+    precision, no exhaustive apodization search)."""
     if np.all(x == x[0]):  # CONSTANT
         bw.write_uint(0, 1)
         bw.write_uint(0, 6)
         bw.write_uint(0, 1)
         bw.write_uint(int(x[0]) & ((1 << bits) - 1), bits)
         return
-    max_order = min(4, bs - 1)
-    best_order, best_cost = 0, None
-    for order in range(max_order + 1):
-        cost = int(np.sum(np.abs(_fixed_residual(x, order))))
-        if best_cost is None or cost < best_cost:
-            best_order, best_cost = order, cost
-    order = best_order
-    resid = _fixed_residual(x, order)
+
+    # FIXED candidate: order minimizing residual magnitude, exact cost
+    max_fixed = min(4, bs - 1)
+    fixed_order, best_mag = 0, None
+    for order in range(max_fixed + 1):
+        mag = int(np.sum(np.abs(_fixed_residual(x, order))))
+        if best_mag is None or mag < best_mag:
+            fixed_order, best_mag = order, mag
+    fixed_resid = _fixed_residual(x, fixed_order)
+    fixed_cost = (fixed_order * bits
+                  + _residual_cost(fixed_resid, fixed_order, bs))
+
+    # LPC candidate: Levinson error picks the order, then exact cost of
+    # the quantized predictor (evaluating one order keeps encode fast)
+    lpc_choice = None
+    max_order = min(_MAX_LPC_ORDER, bs // 2 - 1)
+    if max_order >= 1 and bs > 2 * _MAX_LPC_ORDER:
+        coefs, errs = _lpc_analyze(x, max_order)
+        if coefs:
+            # expected bits/sample ~ 0.5*log2(err): pick the order where
+            # the win stops paying for precision-bit header growth
+            best_o, best_est = 1, None
+            for o in range(1, max_order + 1):
+                e = errs[o - 1]
+                est = (0.5 * np.log2(e / bs) * (bs - o) if e > 0
+                       else 0.0)
+                est += o * (bits + _LPC_PRECISION)
+                if best_est is None or est < best_est:
+                    best_o, best_est = o, est
+            quant = _quantize_lpc(coefs[best_o - 1], _LPC_PRECISION)
+            if quant is not None:
+                qcoefs, shift = quant
+                resid = _lpc_residual(x, qcoefs, shift)
+                cost = (best_o * bits + 4 + 5
+                        + best_o * _LPC_PRECISION
+                        + _residual_cost(resid, best_o, bs))
+                if cost < fixed_cost:
+                    lpc_choice = (best_o, qcoefs, shift, resid)
+
     bw.write_uint(0, 1)
-    bw.write_uint(8 + order, 6)  # FIXED
-    bw.write_uint(0, 1)          # no wasted bits
     mask = (1 << bits) - 1
-    for i in range(order):
-        bw.write_uint(int(x[i]) & mask, bits)
-    _write_residual(bw, resid, order, bs)
+    if lpc_choice is not None:
+        order, qcoefs, shift, resid = lpc_choice
+        bw.write_uint(32 + (order - 1), 6)  # LPC
+        bw.write_uint(0, 1)                 # no wasted bits
+        for i in range(order):
+            bw.write_uint(int(x[i]) & mask, bits)
+        bw.write_uint(_LPC_PRECISION - 1, 4)
+        bw.write_uint(shift & 0x1F, 5)
+        pmask = (1 << _LPC_PRECISION) - 1
+        for qc in qcoefs:
+            bw.write_uint(qc & pmask, _LPC_PRECISION)
+        _write_residual(bw, resid, order, bs)
+    else:
+        bw.write_uint(8 + fixed_order, 6)  # FIXED
+        bw.write_uint(0, 1)                # no wasted bits
+        for i in range(fixed_order):
+            bw.write_uint(int(x[i]) & mask, bits)
+        _write_residual(bw, fixed_resid, fixed_order, bs)

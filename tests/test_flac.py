@@ -2,6 +2,7 @@
 CLI/dispatch integration (reference parity: cli/phase-rotate.cc:33 reads
 FLAC through libsndfile)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -279,3 +280,70 @@ def test_empty_audio_roundtrip(tmp_path):
     write_flac(p, np.zeros((2, 0), np.float32), 48000)
     y, rate, _ = read_flac(p)
     assert rate == 48000 and y.shape == (2, 0)
+
+
+def test_lpc_encoder_losslessness_all_content(tmp_path):
+    """LPC-encoded streams (orders <= 12, quantized coefficients)
+    roundtrip bit-exactly across content types and depths."""
+    rng = np.random.default_rng(21)
+    rate = 48000
+    n = rate
+    t = np.arange(n) / rate
+    signals = [
+        0.6 * np.sin(2 * np.pi * 440 * t),
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 1187 * t),
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.05 * rng.standard_normal(n),
+        0.3 * rng.standard_normal(n),
+        0.5 * np.sin(2 * np.pi * (100 + 2000 * t) * t),  # sweep
+    ]
+    for bits in (16, 24):
+        scale = float(1 << (bits - 1))
+        lim = (1 << (bits - 1)) - 1
+        for i, x in enumerate(signals):
+            x = x.astype(np.float32)[None]
+            p = str(tmp_path / f"l{bits}_{i}.flac")
+            write_flac(p, x, rate, bits=bits)
+            y, r, _ = read_flac(p)
+            q = np.clip(np.rint(x * scale), -(lim + 1), lim) / scale
+            np.testing.assert_array_equal(y, q.astype(np.float32))
+
+
+def test_lpc_beats_fixed_on_tonal(tmp_path):
+    """The LPC model search must compress tonal material far beyond
+    the FIXED-only encoder (round-3 verdict item: libFLAC-class
+    compression on tonal corpora, not ~2:1)."""
+    rate = 48000
+    n = 4 * rate
+    t = np.arange(n) / rate
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 1187 * t)
+         + 0.1 * np.sin(2 * np.pi * 97 * t)).astype(np.float32)[None]
+    p = str(tmp_path / "tonal.flac")
+    write_flac(p, x, rate, bits=16)
+    size = os.path.getsize(p)
+    raw = 2 * n
+    assert size < 0.25 * raw, f"tonal compression too weak: {size}/{raw}"
+
+
+def test_lpc_stream_decodes_in_python_and_native(tmp_path):
+    """Both decoders (pure Python and native C) agree on LPC streams —
+    dual independent validation of the encoder's bitstream."""
+    from phaserotate_tpu.io import native
+
+    rng = np.random.default_rng(22)
+    rate = 48000
+    n = rate
+    x = (0.4 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)[None]
+    p = str(tmp_path / "dual.flac")
+    write_flac(p, x, rate, bits=16)
+    y_native, _, _ = read_flac(p)
+    orig = native.flac_decode
+    native.flac_decode = lambda *a, **k: None
+    try:
+        y_py, _, _ = read_flac(p)
+    finally:
+        native.flac_decode = orig
+    np.testing.assert_array_equal(y_native, y_py)
