@@ -222,7 +222,8 @@ class _Session:
     def __init__(self, rate: int, channels: int, meters: bool,
                  engine_lock: threading.Lock, pipeline: int = 0,
                  web_ui: bool = False, device: int = 0,
-                 rtt_s: Optional[float] = None):
+                 rtt_s: Optional[float] = None,
+                 brokers: Optional["BrokerPool"] = None):
         from .hostapp import StandaloneHost
 
         if channels not in (1, 2):
@@ -239,9 +240,21 @@ class _Session:
         self.device = device
         self.pipeline = pipeline
         self.lock = engine_lock
+        broker = (brokers.get(rate, channels, device, pipeline)
+                  if brokers is not None else None)
+        self.batched = broker is not None
         with engine_lock:  # plugin instantiate compiles on-device code
-            self.host = StandaloneHost(rate, channels, block=MAX_FRAMES,
-                                       pipeline=pipeline, device=device)
+            try:
+                self.host = StandaloneHost(
+                    rate, channels, block=MAX_FRAMES,
+                    pipeline=pipeline, device=device, broker=broker)
+            except RuntimeError:
+                # broker slots exhausted: serve unbatched rather than
+                # refusing the connection
+                self.batched = False
+                self.host = StandaloneHost(
+                    rate, channels, block=MAX_FRAMES,
+                    pipeline=pipeline, device=device)
         self.plugin = self.host.plugin
         self.meters = meters
         self.web_ui = web_ui
@@ -257,6 +270,9 @@ class _Session:
 
             self.host.control.append(UiOn())
 
+    def close(self) -> None:
+        self.plugin.cleanup()  # releases the broker slot, if any
+
     def process(self, n: int, angles: np.ndarray,
                 samples: np.ndarray) -> Tuple[np.ndarray, Optional[list]]:
         x = samples.reshape(n, self.channels).T
@@ -271,8 +287,14 @@ class _Session:
                     self._override_base = None
         for c in range(self.channels):
             self.host.angles[c][0] = angles[c]
-        with self.lock:  # serialize device dispatch across clients
+        if self.batched:
+            # the shared broker IS the serialization point — holding
+            # the engine lock here would defeat cross-session batching
+            # (concurrent submits are what coalesce into one dispatch)
             out = self.host.process(x)
+        else:
+            with self.lock:  # serialize device dispatch across clients
+                out = self.host.process(x)
         levels = None
         if self.meters:
             from .plugin.protocol import LevelsMsg
@@ -294,7 +316,8 @@ def _handle(conn: socket.socket, meters: bool,
             pool: "DevicePool", pipeline: int = 0,
             registry: Optional[dict] = None,
             sid_out: Optional[list] = None,
-            rtt_s: Optional[float] = None) -> None:
+            rtt_s: Optional[float] = None,
+            brokers: Optional["BrokerPool"] = None) -> None:
     if struct.unpack("<I", _recv_exact(conn, 4))[0] != MAGIC:
         _send_msg(conn, T_ERR, b"bad magic")
         return
@@ -343,7 +366,8 @@ def _handle(conn: socket.socket, meters: bool,
                     session = _Session(rate, channels, meters, lock,
                                        pipeline=pipeline,
                                        web_ui=registry is not None,
-                                       device=device, rtt_s=rtt_s)
+                                       device=device, rtt_s=rtt_s,
+                                       brokers=brokers)
                     if registry is not None:
                         sid = _register_session(registry, session)
                         if sid_out is not None:
@@ -392,6 +416,8 @@ def _handle(conn: socket.socket, meters: bool,
         # connection dropped mid-analysis: return the concurrency slot
         if analysis is not None:
             analysis.release()
+        if session is not None:
+            session.close()  # releases the broker slot, if any
 
 
 def measure_dispatch_rtt(reps: int = 5) -> float:
@@ -424,6 +450,35 @@ def auto_pipeline_depth(rtt_s: float, rate: int, parsiz: int,
     frame_s = parsiz / float(rate)
     depth = int(np.ceil(rtt_s * margin / frame_s))
     return max(1, min(depth, max_depth))
+
+
+class BrokerPool:
+    """Lazily built shared StreamBrokers, one per (rate, channels,
+    device, depth) geometry group — sessions landing in the same group
+    ride one batched dispatch (round-3 verdict #2)."""
+
+    def __init__(self, capacity: int):
+        self.capacity = int(capacity)
+        self._mu = threading.Lock()
+        self._brokers: dict = {}
+
+    def get(self, rate: int, channels: int, device: int, depth: int):
+        import jax
+
+        from .core.sizes import stream_geometry_for_rate
+        from .stream.broker import StreamBroker
+
+        geom = stream_geometry_for_rate(rate)
+        key = (geom, channels, device, depth)
+        with self._mu:
+            br = self._brokers.get(key)
+            if br is None:
+                with jax.default_device(jax.devices()[device]):
+                    br = StreamBroker(geom, channels,
+                                      capacity=self.capacity,
+                                      depth=max(depth, 1))
+                self._brokers[key] = br
+            return br
 
 
 class DevicePool:
@@ -467,13 +522,15 @@ def _register_session(registry: dict, session: "_Session") -> int:
 def _client_loop(conn: socket.socket, meters: bool,
                  pool: "DevicePool", pipeline: int = 0,
                  registry: Optional[dict] = None,
-                 rtt_s: Optional[float] = None) -> None:
+                 rtt_s: Optional[float] = None,
+                 brokers: Optional["BrokerPool"] = None) -> None:
     """Run one connection to completion with the per-client error
     containment the daemon guarantees: a bad or dead client is reported
     (when possible), dropped, and never takes the daemon down."""
     my_sids: list = []
     try:
-        _handle(conn, meters, pool, pipeline, registry, my_sids, rtt_s)
+        _handle(conn, meters, pool, pipeline, registry, my_sids,
+                rtt_s, brokers)
     except (ConnectionError, socket.timeout):
         pass  # dead/silent client: drop quietly, keep serving others
     except Exception as e:  # a bad client must never kill the daemon
@@ -494,7 +551,8 @@ def serve(path: str, once: bool = False, meters: bool = False,
           timeout: Optional[float] = 600.0,
           pipeline: int = 0,
           ui_port: Optional[int] = None,
-          devices: int = 1) -> None:
+          devices: int = 1,
+          batch_sessions: int = 0) -> None:
     """Serve plugin sessions on a Unix socket at ``path``.
 
     Accepts any number of concurrent clients — one plugin instance per
@@ -521,6 +579,7 @@ def serve(path: str, once: bool = False, meters: bool = False,
     except FileNotFoundError:
         pass
     pool = DevicePool(devices)
+    brokers = BrokerPool(batch_sessions) if batch_sessions > 0 else None
     rtt_s: Optional[float] = None
     if pipeline < 0:  # auto depth: measure the dispatch round trip once
         rtt_s = measure_dispatch_rtt()
@@ -547,11 +606,12 @@ def serve(path: str, once: bool = False, meters: bool = False,
                 conn.settimeout(timeout)
             if once:
                 _client_loop(conn, meters, pool, pipeline, registry,
-                             rtt_s)
+                             rtt_s, brokers)
                 return
             threading.Thread(
                 target=_client_loop,
-                args=(conn, meters, pool, pipeline, registry, rtt_s),
+                args=(conn, meters, pool, pipeline, registry, rtt_s,
+                      brokers),
                 daemon=True).start()
     finally:
         if webui is not None:
@@ -678,6 +738,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ui-port", type=int, default=None,
                     help="serve the browser GUI for live sessions on "
                          "this port (0 = pick a free port)")
+    ap.add_argument("--batch-sessions", type=int, default=0,
+                    help="serve same-geometry sessions through ONE "
+                         "batched device dispatch (N slots per group; "
+                         "0 = one dispatch per session)")
     ap.add_argument("--devices", type=int, default=1,
                     help="spread sessions round-robin over this many "
                          "accelerators (0 = all available)")
@@ -690,7 +754,7 @@ def main(argv=None) -> int:
           ready_fd=args.ready_fd,
           timeout=args.timeout if args.timeout > 0 else None,
           pipeline=args.pipeline, ui_port=args.ui_port,
-          devices=args.devices)
+          devices=args.devices, batch_sessions=args.batch_sessions)
     return 0
 
 

@@ -32,7 +32,7 @@ class StandaloneHost:
     """Owns one plugin instance with fully wired ports."""
 
     def __init__(self, rate: int, channels: int, block: int = 256,
-                 pipeline: int = 0, device: int = 0):
+                 pipeline: int = 0, device: int = 0, broker=None):
         if channels > 2:
             raise ValueError("standalone host supports mono or stereo")
         self.desc = descriptor_for_channels(channels)
@@ -42,6 +42,8 @@ class StandaloneHost:
             options["pipeline"] = pipeline
         if device:
             options["device"] = device
+        if broker is not None:  # cross-session batching (stream/broker)
+            options["broker"] = broker
         self.plugin = PhaseRotatePlugin(
             self.desc.uri, rate, options=options or None)
         self.control: List = []

@@ -74,6 +74,19 @@ class PhaseRotatePlugin:
         self.pipeline_depth = 0
         if options and "pipeline" in options:
             self.pipeline_depth = max(0, int(options["pipeline"]))
+        # cross-session batched dispatch (stream/broker.py): a shared
+        # StreamBroker advances MANY plugin instances in one device step
+        # — the daemon's serving mode.  The broker's pipelining replaces
+        # the per-instance pipeline (latency accounting identical).
+        self._broker = None
+        self._slot: Optional[int] = None
+        if options and "broker" in options:
+            self._broker = options["broker"]
+            if (self._broker.geom != self.geom
+                    or self._broker.channels != self.n_chn):
+                raise ValueError(
+                    "broker geometry/channels do not match this instance")
+            self.pipeline_depth = self._broker.depth
         # accelerator placement: committing the engine carry to device k
         # makes every dispatch of this instance run there (placement-
         # aware jit) — the daemon schedules sessions round-robin over a
@@ -113,13 +126,23 @@ class PhaseRotatePlugin:
 
     def _init_dsp(self) -> None:
         parsiz = self.geom.parsiz
-        # channels ride a vmapped batch axis: one dispatch per frame for
-        # mono AND stereo (the reference spawns a thread per channel,
-        # cli/phase-rotate.cc:437-444; on TPU batching is the fan-out)
-        self._state = init_state(self.geom, (self.n_chn,))
-        if self.device_index:
-            self._state = jax.device_put(
-                self._state, jax.devices()[self.device_index])
+        if self._broker is not None:
+            # engine state lives in the broker's slot axis; (re)opening
+            # resets it in-graph at the next shared dispatch
+            if self._slot is None:
+                self._slot = self._broker.open()
+            else:
+                self._broker.reset(self._slot)
+            self._state = None
+        else:
+            # channels ride a vmapped batch axis: one dispatch per frame
+            # for mono AND stereo (the reference spawns a thread per
+            # channel, cli/phase-rotate.cc:437-444; on TPU batching is
+            # the fan-out)
+            self._state = init_state(self.geom, (self.n_chn,))
+            if self.device_index:
+                self._state = jax.device_put(
+                    self._state, jax.devices()[self.device_index])
         # meter state lives on the host CPU backend: ballistics are a
         # few scalars per block, and per-block readbacks of the level
         # fields must not cost a remote-device round trip (the engine
@@ -165,8 +188,11 @@ class PhaseRotatePlugin:
         self._init_dsp()
 
     def cleanup(self) -> None:
-        """No manual teardown needed — state is GC'd; kept for ABI
-        parity with src/phaserotate.c:179-223."""
+        """Release the broker slot (if any); other state is GC'd —
+        ABI parity with src/phaserotate.c:179-223."""
+        if self._broker is not None and self._slot is not None:
+            self._broker.close(self._slot)
+            self._slot = None
 
     # -- run ---------------------------------------------------------------
 
@@ -233,20 +259,27 @@ class PhaseRotatePlugin:
                      for c in range(n_chn)]  # raw input (pre-process)
 
         target_turns = degrees_to_turns_np(target_deg)
-        if self._pipe is None:
-            angle_now = np.asarray(self._state.angle)  # one readback
-        else:
+        if self._broker is not None or self._pipe is not None:
             angle_now = self._angle_shadow  # no synchronous device read
+        else:
+            angle_now = np.asarray(self._state.angle)  # one readback
         angle_changed = target_turns != angle_now
 
         # block staging identical to the reference's offset bookkeeping,
         # shared with StreamingRotator (stream/host.advance_stream)
         offset_before = self._offset
         x_in = np.stack([self._out[c][:n] for c in range(n_chn)])
-        self._state, self._offset, y_out = advance_stream(
-            self._state, self._cur_in, self._cur_out, self._offset,
-            x_in, target_deg, geom, pipe=self._pipe)
-        if self._pipe is not None:
+        if self._broker is not None:
+            from ..stream.broker import advance_stream_brokered
+
+            self._offset, y_out = advance_stream_brokered(
+                self._broker, self._slot, self._cur_in, self._cur_out,
+                self._offset, x_in, target_deg)
+        else:
+            self._state, self._offset, y_out = advance_stream(
+                self._state, self._cur_in, self._cur_out, self._offset,
+                x_in, target_deg, geom, pipe=self._pipe)
+        if self._broker is not None or self._pipe is not None:
             a = self._angle_shadow
             for _ in range((offset_before + n) // geom.parsiz):
                 a = host_angle_step(a, target_turns, geom)

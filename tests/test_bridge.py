@@ -730,7 +730,8 @@ def test_analyze_concurrency_bounded(daemon):
     for _ in range(50):
         c = BridgeClient(daemon, 48000, 1, init=False)
         _send_msg(c.sock, T_ANALYZE_BEGIN, begin)
-        c.sock.settimeout(5.0)
+        # generous: the reply may wait behind a compile on a loaded box
+        c.sock.settimeout(60.0)
         from phaserotate_tpu.bridge import T_ANALYZE_END
 
         _send_msg(c.sock, T_ANALYZE_END)

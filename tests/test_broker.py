@@ -1,0 +1,209 @@
+"""Cross-session batched dispatch (stream/broker.py): parity with the
+dedicated pipelined engine, dynamic batching, slot lifecycle, and the
+daemon --batch-sessions serving mode."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from phaserotate_tpu.core.sizes import stream_geometry_for_rate
+from phaserotate_tpu.stream import StreamingRotator
+from phaserotate_tpu.stream.broker import StreamBroker
+
+RATE = 48000
+GEOM = stream_geometry_for_rate(RATE)
+DEPTH = 3
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(31)
+
+
+def test_broker_matches_dedicated_pipelined(rng):
+    """One slot through the broker == StreamingRotator with the same
+    pipeline depth, bit-exactly (same engine, same delay contract)."""
+    parsiz = GEOM.parsiz
+    n_frames = DEPTH + 6
+    x = rng.standard_normal((1, n_frames * parsiz)).astype(np.float32)
+
+    rot = StreamingRotator(rate=RATE, channels=1, pipeline_depth=DEPTH)
+    want = rot.process(x, 35.0)
+
+    broker = StreamBroker(GEOM, channels=1, capacity=4, depth=DEPTH)
+    slot = broker.open()
+    degs = np.array([35.0], np.float32)
+    got = np.empty_like(x)
+    for j in range(n_frames):
+        frame = x[:, j * parsiz : (j + 1) * parsiz]
+        got[:, j * parsiz : (j + 1) * parsiz] = \
+            broker.submit(slot, frame, degs)
+    # StreamingRotator emits cur_out (one frame behind the pipeline):
+    # align by one frame
+    np.testing.assert_array_equal(got[:, : -parsiz], want[:, parsiz:])
+    broker.close(slot)
+
+
+def test_broker_concurrent_sessions_match_solo(rng):
+    """N sessions submitting concurrently each get exactly the stream a
+    solo session would (dispatch coalescing must not mix slots)."""
+    parsiz = GEOM.parsiz
+    n_frames = DEPTH + 5
+    n_sessions = 4
+    xs = [rng.standard_normal((1, n_frames * parsiz)).astype(np.float32)
+          for _ in range(n_sessions)]
+    angles = [10.0 * (s + 1) for s in range(n_sessions)]
+
+    # solo references (independent brokers, one slot each)
+    refs = []
+    for s in range(n_sessions):
+        b = StreamBroker(GEOM, 1, capacity=1, depth=DEPTH)
+        k = b.open()
+        out = np.empty_like(xs[s])
+        for j in range(n_frames):
+            out[:, j * parsiz : (j + 1) * parsiz] = b.submit(
+                k, xs[s][:, j * parsiz : (j + 1) * parsiz],
+                np.array([angles[s]], np.float32))
+        refs.append(out)
+
+    broker = StreamBroker(GEOM, 1, capacity=n_sessions, depth=DEPTH)
+    slots = [broker.open() for _ in range(n_sessions)]
+    outs = [np.empty_like(xs[s]) for s in range(n_sessions)]
+    errors = []
+
+    def worker(s):
+        try:
+            degs = np.array([angles[s]], np.float32)
+            for j in range(n_frames):
+                frame = xs[s][:, j * parsiz : (j + 1) * parsiz]
+                outs[s][:, j * parsiz : (j + 1) * parsiz] = \
+                    broker.submit(slots[s], frame, degs)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,))
+               for s in range(n_sessions)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for s in range(n_sessions):
+        np.testing.assert_array_equal(outs[s], refs[s])
+    # batching actually happened: fewer dispatches than total frames
+    assert broker.dispatches < broker.frames_served
+    for k in slots:
+        broker.close(k)
+
+
+def test_broker_slot_lifecycle():
+    broker = StreamBroker(GEOM, 1, capacity=2, depth=1)
+    a = broker.open()
+    b = broker.open()
+    assert broker.in_use() == 2
+    with pytest.raises(RuntimeError, match="full"):
+        broker.open()
+    broker.close(a)
+    c = broker.open()  # freed slot is reusable
+    assert c == a
+    broker.close(b)
+    broker.close(c)
+    assert broker.in_use() == 0
+
+
+def test_broker_reset_clears_state(rng):
+    """reset() gives activate() semantics: the slot behaves like a
+    fresh instance (same contract as tests on StreamingRotator.reset)."""
+    parsiz = GEOM.parsiz
+    broker = StreamBroker(GEOM, 1, capacity=2, depth=1)
+    slot = broker.open()
+    degs = np.array([25.0], np.float32)
+    x = rng.standard_normal((1, parsiz)).astype(np.float32)
+    first = [broker.submit(slot, x, degs).copy() for _ in range(4)]
+    broker.reset(slot)
+    again = [broker.submit(slot, x, degs).copy() for _ in range(4)]
+    for a, b in zip(first, again):
+        np.testing.assert_array_equal(a, b)
+    broker.close(slot)
+
+
+def test_plugin_instance_on_broker_matches_pipelined(rng):
+    """A PhaseRotatePlugin bound to a broker slot produces the exact
+    stream of a dedicated instance with option {'pipeline': depth}."""
+    from phaserotate_tpu.hostapp import StandaloneHost
+
+    n = 4 * GEOM.parsiz
+    x = rng.standard_normal((2, n)).astype(np.float32)
+
+    ded = StandaloneHost(RATE, 2, block=n, pipeline=DEPTH)
+    for c in range(2):
+        ded.angles[c][0] = 30.0
+    want = ded.process(x)
+
+    broker = StreamBroker(GEOM, 2, capacity=2, depth=DEPTH)
+    bat = StandaloneHost(RATE, 2, block=n, broker=broker)
+    for c in range(2):
+        bat.angles[c][0] = 30.0
+    got = bat.process(x)
+    np.testing.assert_array_equal(got, want)
+    assert bat.plugin.latency == ded.plugin.latency
+    bat.plugin.cleanup()
+    assert broker.in_use() == 0
+
+
+def test_daemon_batch_sessions_end_to_end(tmp_path, rng):
+    """Daemon with --batch-sessions: concurrent clients stream correct,
+    independent results through the shared dispatch."""
+    import os
+    import subprocess
+    import sys
+
+    from phaserotate_tpu.bridge import BridgeClient
+
+    sock = str(tmp_path / "engine.sock")
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge", "--socket",
+         sock, "--ready-fd", str(w), "--pipeline", "2",
+         "--batch-sessions", "4"],
+        pass_fds=(w,), stderr=subprocess.DEVNULL)
+    os.close(w)
+    try:
+        assert os.read(r, 1) == b"R"
+        os.close(r)
+        parsiz = GEOM.parsiz
+        n_blocks = 8
+        xs = [rng.standard_normal((1, parsiz)).astype(np.float32)
+              for _ in range(2)]
+        outs = [[] for _ in range(2)]
+        errs = []
+
+        def client(i):
+            try:
+                cl = BridgeClient(sock, RATE, 1)
+                for _ in range(n_blocks):
+                    outs[i].append(cl.process(xs[i], 15.0 * (i + 1)))
+                cl.close()
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=client, args=(i,)) for i in (0, 1)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        # parity vs a dedicated local pipelined instance fed the same
+        # repeating block (same staging semantics -> same stream)
+        for i in (0, 1):
+            rot = StreamingRotator(rate=RATE, channels=1,
+                                   pipeline_depth=2)
+            want = [rot.process(xs[i], 15.0 * (i + 1))
+                    for _ in range(n_blocks)]
+            np.testing.assert_array_equal(
+                np.concatenate(outs[i], axis=1),
+                np.concatenate(want, axis=1))
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
