@@ -53,45 +53,69 @@ def _medtime(fn, inputs):
     return statistics.median(runs)
 
 
-def bench_rotate(rate=48000, seconds=60, batch=96):
-    """Measured batch scaling on-chip: 96 -> 55.5k x, 192 -> 65.8k x
-    realtime (dispatch/HBM amortization) — but the 192-shape program's
-    server-side compile adds ~10 min and pushed a full bench.py run
-    past 55 min (timeout risk for the driver), so the headline stays at
-    the proven batch 96; the 65.8k figure is recorded in
-    doc/KERNELS.md as the measured scaling headroom."""
+def auto_rotate_batch(rate=48000, seconds=60, default=96):
+    """Pick the rotate batch from device memory (round-3 verdict #5:
+    harvest the measured batch-192 headroom, 55.5k -> 65.8k x realtime,
+    instead of hardcoding 96).  The working set is roughly 6 copies of
+    the (batch, n) float32 block (input, spectrum ri-pair, output,
+    fusion slack); choose the largest power-of-two batch <= 256 that
+    fits in ~60% of reported device memory, falling back to ``default``
+    when the backend does not report memory stats."""
+    n = rate * seconds
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+    except Exception:
+        limit = None
+    if not limit:
+        return default
+    per_file = 6 * 4 * n
+    batch = 64
+    while batch * 2 <= 256 and batch * 2 * per_file <= 0.6 * limit:
+        batch *= 2
+    return batch
+
+
+def bench_rotate(rate=48000, seconds=60, batch=None):
+    """Batched offline rotate throughput; batch sized from device
+    memory (auto_rotate_batch) unless given."""
     from phaserotate_tpu.ops import rotate_fir
 
+    if batch is None:
+        batch = auto_rotate_batch(rate, seconds)
     n = rate * seconds
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
     degs = jnp.asarray(rng.uniform(-180, 180, batch).astype(np.float32))
     run = jax.jit(lambda x, d: jnp.sum(rotate_fir(x, d, rate=rate)))
     dt = _medtime(run, lambda i: (x, degs + float(i)))
-    return batch * n / dt / rate  # x realtime
+    return batch * n / dt / rate, batch  # x realtime
 
 
 _sweep_jit = {}
 
 
-def _shared_sweep(geom):
-    """ONE jitted sweep per geometry, shared by the device-only,
-    in-memory, and on-disk search benches — identical input shapes and
-    dtype, so the (expensive, uncacheable on the remote compile helper)
-    XLA compile happens once per geometry, not per bench.
+def _shared_sweep(geom, n):
+    """ONE jitted sweep per (geometry, length), shared by the
+    device-only, in-memory, and on-disk search benches — identical
+    input shapes and dtype, so the (expensive, uncacheable on the
+    remote compile helper) XLA compile happens once, not per bench.
 
-    Takes RAW int16 PCM and dequantizes on device (the fleet ingest
-    path, search.sweep_peaks_aux_pcm16): half the host->device bytes of
-    float32, and the cast fuses into the sweep's first convolution.
-    ``s`` is a float shift applied post-dequantize so every iteration
-    sees distinct values without re-staging host data."""
-    key = geom.blksiz
+    Takes RAW int16 PCM **bit-packed as int32** (pack_pcm16: the tunnel
+    backend cannot transfer int16 buffers) and dequantizes on device —
+    the fleet ingest path of search.sweep_peaks_aux_pcm16: half the
+    host->device bytes of float32, with the cast fused into the sweep's
+    first convolution.  ``s`` is a float shift applied post-dequantize
+    so every iteration sees distinct values without re-staging host
+    data."""
+    key = (geom.blksiz, n)
     if key not in _sweep_jit:
-        from phaserotate_tpu.search.sweep import _sweep_impl
+        from phaserotate_tpu.search.sweep import _sweep_impl, _unpack_pcm16
 
         _sweep_jit[key] = jax.jit(
-            lambda x, s: _sweep_impl(
-                x.astype(jnp.float32) * (1.0 / 32768.0) + s, geom, 4096))
+            lambda p, s: _sweep_impl(
+                _unpack_pcm16(p, n) + s, geom, 4096))
     return _sweep_jit[key]
 
 
@@ -103,12 +127,14 @@ def _quantize16(x):
 def bench_search(rate=48000, seconds=10, batch=512):
     from phaserotate_tpu.core.sizes import OfflineGeometry
 
+    from phaserotate_tpu.search.sweep import pack_pcm16
+
     geom = OfflineGeometry(blksiz=8192)
     n = rate * seconds
     rng = np.random.default_rng(1)
-    x = jnp.asarray(_quantize16(
-        0.5 * rng.standard_normal((batch, 1, n)).astype(np.float32)))
-    sweep = _shared_sweep(geom)
+    x = jnp.asarray(pack_pcm16(_quantize16(
+        0.5 * rng.standard_normal((batch, 1, n)).astype(np.float32))))
+    sweep = _shared_sweep(geom, n)
     f = lambda x, s: jnp.sum(sweep(x, s)[0])  # noqa: E731
     dt = _medtime(f, lambda i: (x, 0.01 * i))
     return batch / dt  # files per second
@@ -121,12 +147,14 @@ def bench_search_e2e(rate=48000, seconds=10, batch=512):
     from phaserotate_tpu.core.sizes import OfflineGeometry
     from phaserotate_tpu.search.minimize import select_min_peak_angles_batch
 
+    from phaserotate_tpu.search.sweep import pack_pcm16
+
     geom = OfflineGeometry(blksiz=8192)
     n = rate * seconds
     rng = np.random.default_rng(2)
-    x = jnp.asarray(_quantize16(
-        0.5 * rng.standard_normal((batch, 1, n)).astype(np.float32)))
-    sweep = _shared_sweep(geom)
+    x = jnp.asarray(pack_pcm16(_quantize16(
+        0.5 * rng.standard_normal((batch, 1, n)).astype(np.float32))))
+    sweep = _shared_sweep(geom, n)
 
     def run_once(shift):
         tables, rot0 = sweep(x, shift)
@@ -213,7 +241,7 @@ def bench_search_disk(rate=48000, seconds=10, batch=512,
     root = tempfile.mkdtemp(prefix="prtcorpus")
     wavs, flacs = _make_disk_corpus(root, n_files=batch, rate=rate,
                                     seconds=seconds)
-    sweep = _shared_sweep(geom)
+    sweep = _shared_sweep(geom, n)
     # preallocated, pre-touched staging buffers reused every pass: on
     # this host FIRST touch of fresh anonymous memory costs ~0.7 ms per
     # 4K page (lazy VM backing) — fresh per-file arrays would serialize
@@ -229,7 +257,9 @@ def bench_search_disk(rate=48000, seconds=10, batch=512,
             buf[i, 0, :] = a[0, :n]
 
     def device_pass(buf):
-        tables, rot0 = sweep(jnp.asarray(buf), 0.0)
+        # buf is int16 (batch, 1, n): ship the same bytes as int32
+        # (the tunnel cannot transfer int16 — pack_pcm16 docstring)
+        tables, rot0 = sweep(jnp.asarray(buf.view(np.int32)), 0.0)
         return select_min_peak_angles_batch(
             np.asarray(tables), rot0=np.asarray(rot0))
 
@@ -288,14 +318,24 @@ def bench_stream(rate=48000, blocks=(64, 256, 1024), n_iters=24):
     return out
 
 
-def bench_stream_pipelined(rate=48000, block=256, depth=16, n_iters=400):
-    """Real-time margin of the depth-``depth`` dispatch pipeline
-    (stream/host.py): readbacks always have ``depth`` frames of slack,
-    so the per-block cost is enqueue + an already-landed host copy.
-    Cost: ``depth*parsiz`` extra samples of reported latency.
-    Returns (x_realtime, extra_latency_ms, p99_ms)."""
+def bench_stream_pipelined(rate=48000, block=256, depth=None,
+                           n_iters=400):
+    """Real-time margin of the dispatch pipeline (stream/host.py):
+    readbacks always have ``depth`` frames of slack, so the per-block
+    cost is enqueue + an already-landed host copy.  Depth is sized from
+    the measured dispatch RTT (bridge.auto_pipeline_depth — round-3
+    verdict #3: extra latency ~RTT + 2 frames, not a fixed 16).
+    Returns (x_realtime, extra_latency_ms, p99_ms, depth, rtt_ms)."""
+    from phaserotate_tpu.bridge import (
+        auto_pipeline_depth,
+        measure_dispatch_rtt,
+    )
     from phaserotate_tpu.stream import StreamingRotator
 
+    rtt_s = measure_dispatch_rtt()
+    if depth is None:
+        geom_parsiz = StreamingRotator(rate=rate, channels=1).geom.parsiz
+        depth = auto_pipeline_depth(rtt_s, rate, geom_parsiz)
     rot = StreamingRotator(rate=rate, channels=1, pipeline_depth=depth)
     rng = np.random.default_rng(4)
     x = rng.standard_normal(block).astype(np.float32)
@@ -309,34 +349,42 @@ def bench_stream_pipelined(rate=48000, block=256, depth=16, n_iters=400):
     med = statistics.median(times)
     p99 = sorted(times)[min(len(times) - 1, int(0.99 * len(times)))]
     extra_ms = (rot.latency - rot.geom.latency) / rate * 1e3
-    return (block / rate) / med, extra_ms, p99 * 1e3
+    return ((block / rate) / med, extra_ms, p99 * 1e3, depth,
+            rtt_s * 1e3)
 
 
-def bench_daemon(rate=48000, block=256, depth=16, n_iters=300):
-    """Round-trip latency through the engine daemon (socket protocol),
-    pipelined: what the LV2 shim / prt_bridge experiences per block.
-    Returns (median_rtt_ms, x_realtime, p99_ms)."""
+def _spawn_daemon(sock, *extra_args):
     import subprocess
     import sys
+
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge", "--socket",
+         sock, "--ready-fd", str(w), *extra_args],
+        pass_fds=(w,), stderr=subprocess.DEVNULL)
+    os.close(w)
+    if os.read(r, 1) != b"R":
+        raise RuntimeError("bridge daemon failed to start")
+    os.close(r)
+    return proc
+
+
+def bench_daemon(rate=48000, block=256, n_iters=300):
+    """Round-trip latency through the engine daemon (socket protocol),
+    auto-sized pipelining (--pipeline -1): what the LV2 shim /
+    prt_bridge experiences per block.
+    Returns (median_rtt_ms, x_realtime, p99_ms)."""
     import tempfile
 
     from phaserotate_tpu.bridge import BridgeClient
 
     sock = os.path.join(tempfile.mkdtemp(prefix="prtbench"), "engine.sock")
-    r, w = os.pipe()
-    proc = subprocess.Popen(
-        [sys.executable, "-m", "phaserotate_tpu.bridge", "--socket", sock,
-         "--ready-fd", str(w), "--pipeline", str(depth)],
-        pass_fds=(w,), stderr=subprocess.DEVNULL)
-    os.close(w)
+    proc = _spawn_daemon(sock, "--pipeline", "-1")
     try:
-        if os.read(r, 1) != b"R":
-            raise RuntimeError("bridge daemon failed to start")
-        os.close(r)
         cl = BridgeClient(sock, rate, 1)
         rng = np.random.default_rng(5)
         x = rng.standard_normal((1, block)).astype(np.float32)
-        for _ in range(depth + 8):
+        for _ in range(72):  # compile, warm, fill any auto-sized depth
             cl.process(x, 30.0)
         times = []
         for _ in range(n_iters):
@@ -352,6 +400,66 @@ def bench_daemon(rate=48000, block=256, depth=16, n_iters=300):
         proc.wait(timeout=10)
 
 
+def bench_daemon_sessions(rate=48000, block=256, counts=(1, 2, 4, 8),
+                          n_iters=200):
+    """Serving capacity (round-3 verdict #2): how many concurrent
+    block-``block`` sessions one daemon sustains at real time, with
+    cross-session batched dispatch (--batch-sessions) and auto-sized
+    pipelining.  A count passes when EVERY session's p99 block time
+    stays inside the block budget (p99 xrt >= 1).
+    Returns (max_rt_sessions, {n: worst_p99_xrt})."""
+    import tempfile
+    import threading
+
+    from phaserotate_tpu.bridge import BridgeClient
+
+    sock = os.path.join(tempfile.mkdtemp(prefix="prtsess"), "engine.sock")
+    proc = _spawn_daemon(sock, "--pipeline", "-1",
+                         "--batch-sessions", str(max(counts)))
+    budget = block / rate
+    results = {}
+    best = 0
+    try:
+        for n_sessions in counts:
+            clients = [BridgeClient(sock, rate, 1)
+                       for _ in range(n_sessions)]
+            rng = np.random.default_rng(6)
+            x = rng.standard_normal((1, block)).astype(np.float32)
+            for cl in clients:
+                for _ in range(72):
+                    cl.process(x, 30.0)  # warm + fill pipelines
+            p99s = [0.0] * n_sessions
+
+            def run(idx, cl):
+                times = []
+                for _ in range(n_iters):
+                    t0 = time.perf_counter()
+                    cl.process(x, 30.0)
+                    times.append(time.perf_counter() - t0)
+                times.sort()
+                p99s[idx] = times[min(len(times) - 1,
+                                      int(0.99 * len(times)))]
+
+            threads = [threading.Thread(target=run, args=(i, cl))
+                       for i, cl in enumerate(clients)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for cl in clients:
+                cl.close()
+            worst_xrt = budget / max(p99s)
+            results[n_sessions] = round(worst_xrt, 2)
+            if worst_xrt >= 1.0:
+                best = n_sessions
+            else:
+                break
+        return best, results
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
 def main():
     # persist compiled executables: the remote compile-helper can stall
     # for minutes under load, and every benchmark shape is deterministic,
@@ -360,13 +468,15 @@ def main():
 
     enable_persistent_cache()
     platform = jax.devices()[0].platform
-    rt = bench_rotate()
+    rt, rot_batch = bench_rotate()
     fps = bench_search()
     fps_e2e = bench_search_e2e()
     disk = bench_search_disk()
     sync = bench_stream()
-    pipe_xrt, pipe_extra_ms, pipe_p99 = bench_stream_pipelined()
+    (pipe_xrt, pipe_extra_ms, pipe_p99, pipe_depth,
+     pipe_rtt_ms) = bench_stream_pipelined()
     rtt_ms, rtt_xrt, rtt_p99 = bench_daemon()
+    sess_rt, sess_detail = bench_daemon_sessions()
     print(
         json.dumps(
             {
@@ -398,9 +508,14 @@ def main():
                 "stream_pipelined_p99_ms": round(pipe_p99, 2),
                 "stream_pipeline_extra_latency_ms": round(
                     pipe_extra_ms, 1),
+                "stream_pipeline_depth": pipe_depth,
+                "stream_dispatch_rtt_ms": round(pipe_rtt_ms, 1),
                 "daemon_rtt_ms_block256": round(rtt_ms, 2),
                 "daemon_xrt_block256": round(rtt_xrt, 2),
                 "daemon_rtt_p99_ms": round(rtt_p99, 2),
+                "daemon_sessions_at_rt_p99": sess_rt,
+                "daemon_sessions_xrt": sess_detail,
+                "rotate_batch": rot_batch,
                 "platform": platform,
                 "reps": REPS,
                 "iters": ITERS,

@@ -40,7 +40,7 @@ from ..core.sizes import OfflineGeometry
 from ..ops.convolve import partitioned_convolve
 
 __all__ = ["sweep_peaks", "sweep_peaks_aux", "sweep_peaks_aux_pcm16",
-           "apply_angles", "hilbert_offline"]
+           "pack_pcm16", "apply_angles", "hilbert_offline"]
 
 
 def _offline_frames(x: jnp.ndarray, parsiz: int) -> int:
@@ -170,12 +170,33 @@ def sweep_peaks_aux(audio, geom: OfflineGeometry, chunk: int = 4096):
     return _sweep_impl(x, geom, chunk)
 
 
-@functools.partial(jax.jit, static_argnames=("geom", "chunk"))
-def _sweep_impl_pcm16(x, geom: OfflineGeometry, chunk: int):
-    # dequantize on device (int16/32768, the PCM convention of
-    # _pcm_to_float in io/wav.py) — fuses into the first convolution
-    return _sweep_impl(x.astype(jnp.float32) * (1.0 / 32768.0),
-                       geom, chunk)
+def pack_pcm16(x16: np.ndarray) -> np.ndarray:
+    """Bitcast int16 PCM to int32 pairs for device transport.
+
+    Some backends (the remote-tunnel TPU client) cannot transfer int16
+    host buffers — a tiny int16 ``device_put`` hangs — so the ingest
+    path ships the SAME bytes as int32 and bitcasts back in-graph
+    (:func:`_unpack_pcm16`).  Odd lengths get one zero pad sample
+    (dropped again on device via the static true length)."""
+    x16 = np.ascontiguousarray(x16, np.int16)
+    if x16.shape[-1] % 2:
+        pad = [(0, 0)] * (x16.ndim - 1) + [(0, 1)]
+        x16 = np.pad(x16, pad)
+    return x16.view(np.int32)
+
+
+def _unpack_pcm16(packed: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(..., m) int32 -> (..., n) float32 in [-1, 1), in-graph."""
+    x16 = jax.lax.bitcast_convert_type(packed, jnp.int16)
+    x16 = x16.reshape(*packed.shape[:-1], -1)[..., :n]
+    # dequantize (int16/32768, the PCM convention of _pcm_to_float in
+    # io/wav.py) — fuses into the consumer's first convolution
+    return x16.astype(jnp.float32) * (1.0 / 32768.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "geom", "chunk"))
+def _sweep_impl_pcm16(packed, n: int, geom: OfflineGeometry, chunk: int):
+    return _sweep_impl(_unpack_pcm16(packed, n), geom, chunk)
 
 
 def sweep_peaks_aux_pcm16(audio_i16, geom: OfflineGeometry,
@@ -183,15 +204,16 @@ def sweep_peaks_aux_pcm16(audio_i16, geom: OfflineGeometry,
     """:func:`sweep_peaks_aux` over raw int16 PCM.
 
     Fleet ingest path: ships HALF the bytes of float32 over the
-    host->device link and dequantizes on device, where the cast fuses
-    into the sweep's first convolution.  Pair with
-    ``io.read_audio_pcm16`` so a 16-bit file goes disk -> device
-    without ever materializing host-side floats.
+    host->device link (as bit-packed int32 — see :func:`pack_pcm16`)
+    and dequantizes on device, where the cast fuses into the sweep's
+    first convolution.  Pair with ``io.read_audio_pcm16`` so a 16-bit
+    file goes disk -> device without ever materializing host floats.
     """
-    x = jnp.asarray(audio_i16)
-    if x.dtype != jnp.int16:
+    x = np.asarray(audio_i16)
+    if x.dtype != np.int16:
         raise TypeError(f"expected int16 PCM, got {x.dtype}")
-    return _sweep_impl_pcm16(x, geom, chunk)
+    return _sweep_impl_pcm16(jnp.asarray(pack_pcm16(x)), x.shape[-1],
+                             geom, chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("geom",))

@@ -626,17 +626,21 @@ def test_analyze_while_streaming(daemon, rng):
 
 
 def test_auto_pipeline_depth_sizing():
-    """Depth covers `margin` round trips of frame budget, clamped."""
+    """Depth = ceil(RTT/frame) + slack, clamped (round-3 verdict #3:
+    extra latency lands near RTT + 2 frames, not 2x RTT)."""
     from phaserotate_tpu.bridge import auto_pipeline_depth
 
-    # local device: ~0.1 ms RTT -> minimal lookahead
-    assert auto_pipeline_depth(1e-4, 48000, 256) == 1
-    # remote tunnel: 40 ms RTT @ 5.33 ms frames -> ~16
-    assert auto_pipeline_depth(0.040, 48000, 256) == 15
+    # local device: ~0.1 ms RTT -> slack frames only
+    assert auto_pipeline_depth(1e-4, 48000, 256) == 3
+    # remote tunnel: 30 ms RTT @ 5.33 ms frames -> 6 + 2
+    assert auto_pipeline_depth(0.030, 48000, 256) == 8
+    # the sized depth stays inside ~2x RTT of extra latency
+    extra_s = auto_pipeline_depth(0.030, 48000, 256) * 256 / 48000
+    assert extra_s <= 2 * 0.030
     # absurd RTT clamps at the cap
     assert auto_pipeline_depth(5.0, 48000, 256) == 64
-    # higher rates have bigger frames -> shallower pipelines
-    assert auto_pipeline_depth(0.040, 96000, 512) == 15
+    # higher rates have bigger frames -> similar depth at same RTT
+    assert auto_pipeline_depth(0.030, 96000, 512) == 8
 
 
 def test_daemon_auto_pipeline(tmp_path_factory, rng):
