@@ -12,6 +12,7 @@ from .containers import (
 )
 from .audio import read_audio, read_audio_pcm16, write_audio
 from .flac import FlacFormatError, read_flac, write_flac
+from .mp3 import read_mp3, write_mp3
 from .vorbis import OggFormatError, read_ogg
 from .vorbisenc import write_ogg
 from .wav import WavFormatError, WavMetadata, read_wav, write_wav
@@ -26,6 +27,7 @@ __all__ = [
     "read_audio_pcm16",
     "read_caf",
     "read_flac",
+    "read_mp3",
     "read_ogg",
     "read_rf64",
     "read_w64",
@@ -34,6 +36,7 @@ __all__ = [
     "write_audio",
     "write_caf",
     "write_flac",
+    "write_mp3",
     "write_ogg",
     "write_rf64",
     "write_w64",

@@ -27,6 +27,7 @@ from .containers import (
 )
 from .flac import FlacFormatError, is_flac, read_flac, read_flac_pcm16, \
     write_flac
+from .mp3 import is_mp3, read_mp3
 from .vorbis import is_ogg, read_ogg
 from .wav import WavFormatError, WavMetadata, read_wav, read_wav_pcm16, \
     write_wav
@@ -37,8 +38,8 @@ _AIFF_EXT = (".aiff", ".aif", ".aifc")
 
 
 def read_audio(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
-    """Read WAV, AIFF, FLAC, Ogg Vorbis, W64, RF64, or CAF (sniffed by
-    magic) -> ((ch, n) f32, rate, meta)."""
+    """Read WAV, AIFF, FLAC, Ogg Vorbis, MP3, W64, RF64, or CAF
+    (sniffed by magic) -> ((ch, n) f32, rate, meta)."""
     with open(path, "rb") as f:
         head = f.read(16)
     if is_aiff(head):
@@ -53,6 +54,8 @@ def read_audio(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
         return read_rf64(path)
     if is_caf(head):
         return read_caf(path)
+    if is_mp3(head):
+        return read_mp3(path)
     return read_wav(path)
 
 
@@ -91,6 +94,8 @@ def _sniff(path: str) -> str:
         return "flac"
     if is_ogg(head):
         return "ogg"
+    if is_mp3(head):
+        return "mp3"
     if is_w64(head):
         return "w64"
     if is_rf64(head):
@@ -115,7 +120,7 @@ def write_audio(
     inherits the input's major format."""
     lower = path.lower()
     known = lower.endswith(
-        (".wav",) + _AIFF_EXT + (".flac", ".ogg", ".oga",
+        (".wav",) + _AIFF_EXT + (".flac", ".ogg", ".oga", ".mp3",
                                  ".w64", ".rf64", ".caf"))
     inherited = "" if known or like is None else _sniff(like)
     if lower.endswith(_AIFF_EXT) or inherited == "aiff":
@@ -133,6 +138,10 @@ def write_audio(
             comments = {inv[tag]: val for tag, val in meta.info.items()
                         if tag in inv}
         write_ogg(path, audio, rate, comments=comments)
+    elif lower.endswith(".mp3") or inherited == "mp3":
+        from .mp3 import write_mp3
+
+        write_mp3(path, audio, rate, meta)
     elif lower.endswith(".w64") or inherited == "w64":
         write_w64(path, audio, rate, meta)
     elif lower.endswith(".rf64") or inherited == "rf64":
