@@ -13,6 +13,7 @@ from .containers import (
 from .audio import read_audio, read_audio_pcm16, write_audio
 from .flac import FlacFormatError, read_flac, write_flac
 from .mp3 import read_mp3, write_mp3
+from .opus import read_opus, write_opus
 from .vorbis import OggFormatError, read_ogg
 from .vorbisenc import write_ogg
 from .wav import WavFormatError, WavMetadata, read_wav, write_wav
@@ -29,6 +30,7 @@ __all__ = [
     "read_flac",
     "read_mp3",
     "read_ogg",
+    "read_opus",
     "read_rf64",
     "read_w64",
     "read_wav",
@@ -38,6 +40,7 @@ __all__ = [
     "write_flac",
     "write_mp3",
     "write_ogg",
+    "write_opus",
     "write_rf64",
     "write_w64",
     "write_wav",

@@ -38,8 +38,8 @@ _AIFF_EXT = (".aiff", ".aif", ".aifc")
 
 
 def read_audio(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
-    """Read WAV, AIFF, FLAC, Ogg Vorbis, MP3, W64, RF64, or CAF
-    (sniffed by magic) -> ((ch, n) f32, rate, meta)."""
+    """Read WAV, AIFF, FLAC, Ogg Vorbis, Ogg Opus, MP3, W64, RF64,
+    or CAF (sniffed by magic) -> ((ch, n) f32, rate, meta)."""
     with open(path, "rb") as f:
         head = f.read(16)
     if is_aiff(head):
@@ -47,6 +47,13 @@ def read_audio(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     if is_flac(head):
         return read_flac(path)
     if is_ogg(head):
+        # Opus and Vorbis share the OggS capture: probe the first page
+        with open(path, "rb") as f:
+            probe = f.read(128)
+        if b"OpusHead" in probe:
+            from .opus import read_opus
+
+            return read_opus(path)
         return read_ogg(path)
     if is_w64(head):
         return read_w64(path)
@@ -93,6 +100,12 @@ def _sniff(path: str) -> str:
     if is_flac(head):
         return "flac"
     if is_ogg(head):
+        try:
+            with open(path, "rb") as f:
+                if b"OpusHead" in f.read(128):
+                    return "opus"
+        except OSError:
+            pass
         return "ogg"
     if is_mp3(head):
         return "mp3"
@@ -121,7 +134,7 @@ def write_audio(
     lower = path.lower()
     known = lower.endswith(
         (".wav",) + _AIFF_EXT + (".flac", ".ogg", ".oga", ".mp3",
-                                 ".w64", ".rf64", ".caf"))
+                                 ".opus", ".w64", ".rf64", ".caf"))
     inherited = "" if known or like is None else _sniff(like)
     if lower.endswith(_AIFF_EXT) or inherited == "aiff":
         write_aiff(path, audio, rate, meta)
@@ -138,6 +151,10 @@ def write_audio(
             comments = {inv[tag]: val for tag, val in meta.info.items()
                         if tag in inv}
         write_ogg(path, audio, rate, comments=comments)
+    elif lower.endswith(".opus") or inherited == "opus":
+        from .opus import write_opus
+
+        write_opus(path, audio, rate, meta)
     elif lower.endswith(".mp3") or inherited == "mp3":
         from .mp3 import write_mp3
 
