@@ -1,10 +1,14 @@
 """Format-dispatching audio I/O.
 
 The reference opens files through libsndfile and gets every major format
-for free (cli/phase-rotate.cc sf_open); here the interchange formats
-mastering workflows actually exchange — WAV, AIFF, and FLAC — are
-dispatched by content sniffing on read and by extension on write.
-W64, RF64/BW64, and CAF ride the same dispatch (io/containers.py).
+for free (cli/phase-rotate.cc sf_open); here the formats mastering
+workflows actually exchange — WAV, AIFF, FLAC, Ogg Vorbis, Ogg Opus,
+MP3, W64, RF64/BW64, CAF — are dispatched by content sniffing on read
+and by extension on write.  Lossless codecs are the framework's own
+(io/flac.py, io/containers.py); lossy ones pair a framework container
+layer with the canonical system codec libraries (io/vorbis.py decodes
+Vorbis from scratch; vorbisenc/mp3/opus bind libvorbisenc, libmpg123/
+libmp3lame, libopus — the libraries libsndfile itself links).
 """
 
 from __future__ import annotations
