@@ -91,7 +91,43 @@ def test_broker_concurrent_sessions_match_solo(rng):
     assert not errors
     for s in range(n_sessions):
         np.testing.assert_array_equal(outs[s], refs[s])
-    # batching actually happened: fewer dispatches than total frames
+    for k in slots:
+        broker.close(k)
+
+
+def test_broker_coalesces_concurrent_submits(monkeypatch, rng):
+    """Frames arriving while a dispatch is in flight ride the NEXT
+    dispatch together — deterministic check (the free-running test
+    above can legally degrade to one dispatch per frame under
+    pathological scheduling, so coalescing is forced here by slowing
+    the step)."""
+    import time
+
+    from phaserotate_tpu.stream import broker as broker_mod
+
+    real_step = broker_mod._slot_step
+
+    def slow_step(*args, **kwargs):
+        time.sleep(0.05)  # hold the dispatch so others queue behind it
+        return real_step(*args, **kwargs)
+
+    monkeypatch.setattr(broker_mod, "_slot_step", slow_step)
+    broker = StreamBroker(GEOM, 1, capacity=3, depth=1)
+    slots = [broker.open() for _ in range(3)]
+    x = rng.standard_normal((1, GEOM.parsiz)).astype(np.float32)
+    degs = np.array([10.0], np.float32)
+    n_frames = 4
+    threads = [threading.Thread(
+        target=lambda k=k: [broker.submit(k, x, degs)
+                            for _ in range(n_frames)])
+        for k in slots]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert broker.frames_served == 3 * n_frames
+    # with a 50 ms step, the 3 sessions' frames pile up behind each
+    # dispatch: strictly fewer dispatches than frames served
     assert broker.dispatches < broker.frames_served
     for k in slots:
         broker.close(k)
