@@ -1,0 +1,204 @@
+"""Fleet CLI: minimum-peak analysis/apply over MANY files at once.
+
+The reference processes one file per invocation (cli/phase-rotate.cc
+main); batch jobs shell-loop over it, paying a full coarse+fine pass per
+file serially.  On an accelerator the economics invert — the sweep
+batches hundreds of files into one device pass — so the framework ships
+a first-class fleet front end:
+
+    phase-rotate-fleet *.wav                     # analyze, print angles
+    phase-rotate-fleet -l --checkpoint s.npz *.flac
+    phase-rotate-fleet --apply --outdir out/ *.wav
+
+Pipeline per batch: read -> decode straight to int16 PCM
+(io.read_audio_pcm16 — no host floats for 16-bit sources) -> ship
+bit-packed to the device -> batched sweep (all 360 angle-table entries
+at once) -> vectorized CLI-parity selection.  Decode of batch k+1
+overlaps the device pass of batch k, exactly like the serving pipeline.
+
+Files bucket by (rate, channels, padded length); padding with silence
+is EXACT for the peak table: beyond the flush block the Hilbert FIR has
+fully rung out (its support is one partition), so zero blocks
+contribute zero pairs — same tables as per-file runs (tested).
+
+Sweeps persist via --checkpoint (utils/checkpoint.SweepCheckpoint):
+interrupted fleets resume, and selection reruns (different stride/-l)
+reuse stored tables without touching the device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .core.angles import SUBSAMPLE
+from .core.sizes import offline_geometry
+from .search.minimize import SearchResult, select_min_peak_angles_batch
+
+__all__ = ["analyze_paths", "main"]
+
+
+def _bucket_key(rate: int, channels: int, n: int, parsiz: int):
+    """Pad the block count to the next power of two: homogeneous
+    fleets compile ONE device program per (rate, channels) group."""
+    blocks = max(1, -(-n // parsiz))
+    padded = 1 << (blocks - 1).bit_length()
+    return rate, channels, padded * parsiz
+
+
+def analyze_paths(
+    paths: Sequence[str],
+    blksiz: int = 0,
+    stride: int = 12 * SUBSAMPLE,
+    link_channels: bool = False,
+    batch: int = 64,
+    checkpoint: Optional[str] = None,
+    progress=None,
+) -> Dict[str, Tuple[SearchResult, int]]:
+    """Analyze many files -> {path: (SearchResult, rate)}.
+
+    Files are decoded to int16 PCM on a background thread (overlapped
+    with the device sweep of the previous batch), bucketed by geometry,
+    zero-padded to the bucket length, and swept ``batch`` files per
+    device dispatch.
+    """
+    from .io import read_audio_pcm16
+    from .search.sweep import sweep_peaks_aux_pcm16
+    from .utils.checkpoint import SweepCheckpoint
+
+    ckpt = None
+    results: Dict[str, Tuple[SearchResult, int]] = {}
+
+    # pass 1: read headers/audio lazily per batch — group by bucket
+    buckets: Dict[tuple, List[str]] = {}
+    meta: Dict[str, tuple] = {}
+    for p in paths:
+        audio, rate, _ = read_audio_pcm16(p)
+        geom = offline_geometry(rate, blksiz)
+        if ckpt is None and checkpoint:
+            ckpt = SweepCheckpoint(checkpoint, blksiz=geom.blksiz)
+        key = _bucket_key(rate, audio.shape[0], audio.shape[1],
+                          geom.parsiz)
+        meta[p] = (audio, rate, geom)
+        if ckpt is not None and p in ckpt:
+            table, rot0 = ckpt.get(p)
+            results[p] = (select_min_peak_angles_batch(
+                table[None], stride=stride, link_channels=link_channels,
+                rot0=rot0[None])[0], rate)
+            if progress:
+                progress(p, results[p][0], cached=True)
+            continue
+        buckets.setdefault(key, []).append(p)
+
+    pool = ThreadPoolExecutor(1)
+
+    def stage(group: List[str], key) -> np.ndarray:
+        rate, channels, n_pad = key
+        buf = np.zeros((len(group), channels, n_pad), np.int16)
+        for i, p in enumerate(group):
+            audio = meta[p][0]
+            buf[i, :, : audio.shape[1]] = audio
+        return buf
+
+    try:
+        for key, group in buckets.items():
+            rate, channels, n_pad = key
+            geom = meta[group[0]][2]
+            batches = [group[i : i + batch]
+                       for i in range(0, len(group), batch)]
+            fut = pool.submit(stage, batches[0], key)
+            for bi, names in enumerate(batches):
+                buf = fut.result()
+                if bi + 1 < len(batches):
+                    fut = pool.submit(stage, batches[bi + 1], key)
+                tables, rot0 = sweep_peaks_aux_pcm16(buf, geom)
+                tables = np.asarray(tables)
+                rot0 = np.asarray(rot0)
+                sel = select_min_peak_angles_batch(
+                    tables, stride=stride, link_channels=link_channels,
+                    rot0=rot0)
+                for i, p in enumerate(names):
+                    results[p] = (sel[i], rate)
+                    if ckpt is not None:
+                        ckpt.put(p, tables[i], rot0[i])
+                    if progress:
+                        progress(p, sel[i], cached=False)
+    finally:
+        pool.shutdown()
+    return results
+
+
+def _apply_one(path: str, outdir: str, result: SearchResult,
+               blksiz: int) -> str:
+    import os
+
+    from .io import read_audio, write_audio
+    from .search.sweep import apply_angles
+
+    audio, rate, meta = read_audio(path)
+    geom = offline_geometry(rate, blksiz)
+    y = np.asarray(apply_angles(
+        np.atleast_2d(np.asarray(audio, np.float32)),
+        np.asarray(result.angles_units), geom))
+    dst = os.path.join(outdir, os.path.basename(path))
+    write_audio(dst, y, rate, meta, like=path)
+    return dst
+
+
+def main(argv=None) -> int:
+    from .utils.platform import apply_platform_env
+
+    apply_platform_env()
+    ap = argparse.ArgumentParser(
+        prog="phase-rotate-fleet",
+        description="Batched minimum-peak analysis over many files "
+                    "(one device pass sweeps a whole batch).")
+    ap.add_argument("files", nargs="+")
+    ap.add_argument("-f", "--fftlen", type=int, default=0,
+                    help="block size (as phase-rotate -f; 0 = rate/8)")
+    ap.add_argument("-s", "--stride", type=int, default=12 * SUBSAMPLE,
+                    help="coarse step in half-degrees (default 24)")
+    ap.add_argument("-l", "--link", action="store_true",
+                    help="link channels (cross-channel max)")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="files per device dispatch (default 64)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="sweep-table store for resumable fleets")
+    ap.add_argument("--apply", action="store_true",
+                    help="write rotated copies of every file")
+    ap.add_argument("--outdir", default=None,
+                    help="output directory for --apply")
+    args = ap.parse_args(argv)
+    if args.apply and not args.outdir:
+        ap.error("--apply requires --outdir")
+
+    def show(path, res: SearchResult, cached: bool):
+        note = "  (cached sweep)" if cached else ""
+        for c, (deg, found) in enumerate(zip(res.angles_deg, res.found)):
+            if found:
+                print(f"{path}  ch {c + 1}: {deg:+.2f} deg{note}")
+            else:
+                print(f"{path}  ch {c + 1}: no improvement{note}")
+
+    results = analyze_paths(
+        args.files, blksiz=args.fftlen, stride=args.stride,
+        link_channels=args.link, batch=args.batch,
+        checkpoint=args.checkpoint, progress=show)
+
+    if args.apply:
+        import os
+
+        os.makedirs(args.outdir, exist_ok=True)
+        for p in args.files:
+            res, _rate = results[p]
+            dst = _apply_one(p, args.outdir, res, args.fftlen)
+            print(f"wrote {dst}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
