@@ -28,7 +28,7 @@ test-tpu:
 bench:
 	$(PYTHON) bench.py
 
-man: doc/phase-rotate.1 doc/prt_bridge.1 doc/phaserotate-bridge.1
+man: doc/phase-rotate.1 doc/prt_bridge.1 doc/phaserotate-bridge.1 doc/phase-rotate-fleet.1
 
 install: native bundle
 	install -d $(DESTDIR)$(PREFIX)/lib/lv2/phaserotate_tpu.lv2

@@ -26,7 +26,18 @@ Methodology notes:
 import json
 import os
 import statistics
+import sys
 import time
+
+
+def _stage(msg):
+    """Progress to stderr (the JSON contract owns stdout): long
+    server-side compiles otherwise look like hangs."""
+    print(f"bench: {msg} [t+{time.perf_counter() - _T0:.0f}s]",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 # never bench the virtual CPU platform by accident
 if os.environ.get("JAX_PLATFORMS", "").strip().lower() in ("cpu",):
@@ -468,15 +479,24 @@ def main():
 
     enable_persistent_cache()
     platform = jax.devices()[0].platform
+    _stage(f"start on {platform}")
     rt, rot_batch = bench_rotate()
+    _stage(f"rotate done: {rt:.0f}x @ batch {rot_batch}")
     fps = bench_search()
+    _stage(f"search done: {fps:.0f} files/s")
     fps_e2e = bench_search_e2e()
+    _stage(f"search inmem done: {fps_e2e:.0f} files/s")
     disk = bench_search_disk()
+    _stage(f"search disk done: {disk}")
     sync = bench_stream()
+    _stage("stream sync done")
     (pipe_xrt, pipe_extra_ms, pipe_p99, pipe_depth,
      pipe_rtt_ms) = bench_stream_pipelined()
+    _stage(f"stream pipelined done: depth {pipe_depth}")
     rtt_ms, rtt_xrt, rtt_p99 = bench_daemon()
+    _stage("daemon done")
     sess_rt, sess_detail = bench_daemon_sessions()
+    _stage(f"sessions done: {sess_rt} at RT")
     print(
         json.dumps(
             {

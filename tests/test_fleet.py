@@ -101,3 +101,28 @@ def test_fleet_cli_analyze_and_apply(tmp_path, rng, capsys):
             src, np.asarray(res[p][0].angles_units),
             offline_geometry(rate, 0)))
         np.testing.assert_allclose(y, want, atol=2e-7)
+
+
+def test_fleet_lossy_inputs(tmp_path, rng):
+    """Lossy sources (Vorbis/MP3) ride the quantizing ingest fallback
+    and still produce valid fleet results."""
+    from phaserotate_tpu.io import vorbisenc
+
+    if not vorbisenc.available():
+        pytest.skip("system libvorbis not present")
+    from phaserotate_tpu.io import write_ogg
+
+    rate = 48000
+    t = np.arange(24000) / rate
+    x = (0.5 * np.sin(2 * np.pi * 150 * t)
+         + 0.2 * np.sin(2 * np.pi * 340 * t)).astype(np.float32)
+    p = str(tmp_path / "l.ogg")
+    write_ogg(p, x[None], rate, quality=0.5)
+    res = analyze_paths([p])
+    r, grate = res[p]
+    assert grate == rate and len(r.angles_deg) == 1
+    # parity with the single-file search over the same decoded audio
+    audio, _, _ = read_audio(p)
+    q = np.clip(np.rint(audio * 32768.0), -32768, 32767) / 32768.0
+    want = find_min_peak_angle(q.astype(np.float32), rate=rate)
+    assert r.angles_units == want.angles_units
