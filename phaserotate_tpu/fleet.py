@@ -50,6 +50,33 @@ def _bucket_key(rate: int, channels: int, n: int, parsiz: int):
     return rate, channels, padded * parsiz
 
 
+def _probe(path: str) -> Tuple[int, int, int]:
+    """(rate, channels, samples) from headers where possible — pass 1
+    must not hold decoded audio for the whole fleet (a 1k-file job
+    would pin ~10 GB; this host backs fresh pages at ~0.7 ms/page)."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if head[:4] == b"RIFF":
+        from .io.wav import _read_wav_chunks
+
+        wformat, bits, channels, rate, data, _meta = \
+            _read_wav_chunks(path)
+        return rate, channels, len(data) // (channels * max(1, bits // 8))
+    from .io.flac import _read_flac_header, is_flac
+
+    if is_flac(head):
+        with open(path, "rb") as f:
+            blob = f.read()
+        _pos, rate, channels, _bits, total, _meta = \
+            _read_flac_header(blob)
+        if total:
+            return rate, channels, total
+    from .io import read_audio_pcm16
+
+    audio, rate, _ = read_audio_pcm16(path)
+    return rate, audio.shape[0], audio.shape[1]
+
+
 def analyze_paths(
     paths: Sequence[str],
     blksiz: int = 0,
@@ -73,17 +100,17 @@ def analyze_paths(
     ckpt = None
     results: Dict[str, Tuple[SearchResult, int]] = {}
 
-    # pass 1: read headers/audio lazily per batch — group by bucket
+    # pass 1: header probes only — audio decodes lazily per batch, so
+    # fleet memory stays O(batch), not O(fleet)
     buckets: Dict[tuple, List[str]] = {}
     meta: Dict[str, tuple] = {}
     for p in paths:
-        audio, rate, _ = read_audio_pcm16(p)
+        rate, channels, n = _probe(p)
         geom = offline_geometry(rate, blksiz)
         if ckpt is None and checkpoint:
             ckpt = SweepCheckpoint(checkpoint, blksiz=geom.blksiz)
-        key = _bucket_key(rate, audio.shape[0], audio.shape[1],
-                          geom.parsiz)
-        meta[p] = (audio, rate, geom)
+        key = _bucket_key(rate, channels, n, geom.parsiz)
+        meta[p] = (rate, geom)
         if ckpt is not None and p in ckpt:
             table, rot0 = ckpt.get(p)
             results[p] = (select_min_peak_angles_batch(
@@ -100,14 +127,15 @@ def analyze_paths(
         rate, channels, n_pad = key
         buf = np.zeros((len(group), channels, n_pad), np.int16)
         for i, p in enumerate(group):
-            audio = meta[p][0]
-            buf[i, :, : audio.shape[1]] = audio
+            audio = read_audio_pcm16(p)[0]
+            buf[i, :, : min(audio.shape[1], n_pad)] = \
+                audio[:, :n_pad]
         return buf
 
     try:
         for key, group in buckets.items():
             rate, channels, n_pad = key
-            geom = meta[group[0]][2]
+            geom = meta[group[0]][1]
             batches = [group[i : i + batch]
                        for i in range(0, len(group), batch)]
             fut = pool.submit(stage, batches[0], key)

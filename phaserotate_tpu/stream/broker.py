@@ -183,31 +183,44 @@ class StreamBroker:
                 self._reset_pending[:] = False
                 self._cv.notify_all()
 
-            self._frames[:] = 0.0
-            active = np.zeros(self.capacity, bool)
-            for slot, (frame, degs, _w) in batch.items():
-                self._frames[slot] = frame
-                self._targets[slot] = degs
-                active[slot] = True
-            self._state, y = _slot_step(
-                self._state, self._frames, self._targets,
-                jnp.asarray(active), jnp.asarray(reset), self.geom)
-            if hasattr(y, "copy_to_host_async"):
-                y.copy_to_host_async()
-            self.dispatches += 1
-            self.frames_served += len(batch)
-            for slot, (_f, _d, (done, box)) in batch.items():
-                pipe = self._pipes[slot]
-                pipe.append((y, slot))
-                if len(pipe) > self.depth:
-                    y_old, row = pipe.popleft()
-                    # np.asarray is cached on the array after the first
-                    # conversion, so N slots popping the same dispatch
-                    # pay one readback
-                    box[0] = np.asarray(y_old)[row]
-                else:
-                    box[0] = self._zeros
-                done.set()
+            try:
+                self._frames[:] = 0.0
+                active = np.zeros(self.capacity, bool)
+                for slot, (frame, degs, _w) in batch.items():
+                    self._frames[slot] = frame
+                    self._targets[slot] = degs
+                    active[slot] = True
+                self._state, y = _slot_step(
+                    self._state, self._frames, self._targets,
+                    jnp.asarray(active), jnp.asarray(reset), self.geom)
+                if hasattr(y, "copy_to_host_async"):
+                    y.copy_to_host_async()
+                self.dispatches += 1
+                self.frames_served += len(batch)
+                for slot, (_f, _d, (done, box)) in batch.items():
+                    pipe = self._pipes[slot]
+                    pipe.append((y, slot))
+                    if len(pipe) > self.depth:
+                        y_old, row = pipe.popleft()
+                        # np.asarray is cached on the array after the
+                        # first conversion, so N slots popping the same
+                        # dispatch pay one readback
+                        box[0] = np.asarray(y_old)[row]
+                    else:
+                        box[0] = self._zeros
+                    done.set()
+            except BaseException:
+                # a failed dispatch must not leave waiters blocked or
+                # the broker claimed forever: release everyone, clear
+                # the claim, and surface the error to the dispatcher
+                for _slot, (_f, _d, (done, box)) in batch.items():
+                    if box[0] is None:
+                        box[0] = self._zeros
+                    done.set()
+                with self._mu:
+                    self._dispatching = False
+                    self._cv.notify_all()
+                raise
 
 
 def advance_stream_brokered(broker: StreamBroker, slot: int, cur_in,
