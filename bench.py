@@ -64,44 +64,97 @@ def _medtime(fn, inputs):
     return statistics.median(runs)
 
 
+# rotate-batch candidates, largest-first: 192 is the measured-best on
+# the 16 GB bench chip (commit c5e8fd0, +18% over 96); powers of two
+# bracket it for other memory sizes.  A doubling loop could never
+# return 192 — round-3's heuristic silently fell back to 96.
+ROTATE_BATCH_CANDIDATES = (256, 192, 128, 96)
+
+# device-kind -> HBM bytes, for backends (like the remote tunnel) whose
+# memory_stats() is empty.  Substring match against
+# jax.devices()[0].device_kind; sizes are the published per-chip HBM.
+_HBM_BY_KIND = (
+    ("v5p", 95e9),
+    ("v6e", 32e9),
+    ("v6", 32e9),
+    ("v4", 32e9),
+    ("v5e", 16e9),
+    ("v5", 16e9),
+    ("v3", 16e9),
+    ("v2", 8e9),
+)
+
+
+def device_hbm_bytes(device=None):
+    """Usable device memory: memory_stats() when the backend reports
+    it, else a device-kind table lookup, else None."""
+    device = device or jax.devices()[0]
+    try:
+        stats = device.memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+        if limit:
+            return float(limit)
+    except Exception:
+        pass
+    kind = getattr(device, "device_kind", "").lower()
+    for key, hbm in _HBM_BY_KIND:
+        if key in kind:
+            return hbm
+    return None
+
+
 def auto_rotate_batch(rate=48000, seconds=60, default=96):
     """Pick the rotate batch from device memory (round-3 verdict #5:
     harvest the measured batch-192 headroom, 55.5k -> 65.8k x realtime,
-    instead of hardcoding 96).  The working set is roughly 6 copies of
-    the (batch, n) float32 block (input, spectrum ri-pair, output,
-    fusion slack); choose the largest power-of-two batch <= 256 that
-    fits in ~60% of reported device memory, falling back to ``default``
-    when the backend does not report memory stats."""
+    instead of hardcoding 96).
+
+    Working-set model calibrated against the batch-192 run that fits a
+    16 GB chip: ~6 live float32 copies of the (batch, n) block (input,
+    rfft spectrum as an ri pair, output, fusion slack) inside 85% of
+    HBM — 192 x 6 x 11.5 MB = 13.3 GB <= 0.85 x 16 GB, while 256 does
+    not fit.  Picks the largest candidate that fits; ``default`` when
+    no memory figure is known at all."""
     n = rate * seconds
-    try:
-        stats = jax.devices()[0].memory_stats() or {}
-        limit = stats.get("bytes_limit") or stats.get(
-            "bytes_reservable_limit")
-    except Exception:
-        limit = None
+    limit = device_hbm_bytes()
     if not limit:
         return default
     per_file = 6 * 4 * n
-    batch = 64
-    while batch * 2 <= 256 and batch * 2 * per_file <= 0.6 * limit:
-        batch *= 2
-    return batch
+    for batch in ROTATE_BATCH_CANDIDATES:
+        if batch * per_file <= 0.85 * limit:
+            return batch
+    return min(ROTATE_BATCH_CANDIDATES)
 
 
 def bench_rotate(rate=48000, seconds=60, batch=None):
     """Batched offline rotate throughput; batch sized from device
-    memory (auto_rotate_batch) unless given."""
+    memory (auto_rotate_batch) unless given.  If the first warm run
+    OOMs (the heuristic over-estimated free HBM), steps down the
+    candidate list instead of failing the whole bench."""
     from phaserotate_tpu.ops import rotate_fir
 
     if batch is None:
         batch = auto_rotate_batch(rate, seconds)
     n = rate * seconds
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-    degs = jnp.asarray(rng.uniform(-180, 180, batch).astype(np.float32))
     run = jax.jit(lambda x, d: jnp.sum(rotate_fir(x, d, rate=rate)))
-    dt = _medtime(run, lambda i: (x, degs + float(i)))
-    return batch * n / dt / rate, batch  # x realtime
+    while True:
+        try:
+            x = jnp.asarray(
+                rng.standard_normal((batch, n)).astype(np.float32))
+            degs = jnp.asarray(
+                rng.uniform(-180, 180, batch).astype(np.float32))
+            dt = _medtime(run, lambda i: (x, degs + float(i)))
+            return batch * n / dt / rate, batch  # x realtime
+        except Exception as e:
+            msg = str(e)
+            oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+            smaller = [b for b in ROTATE_BATCH_CANDIDATES if b < batch]
+            if not oom or not smaller:
+                raise
+            x = degs = None
+            batch = max(smaller)
+            _stage(f"rotate OOM, stepping down to batch {batch}")
 
 
 _sweep_jit = {}
