@@ -46,12 +46,17 @@ inline void set_socket_deadline(int fd) {
 constexpr uint32_t kMagic = 0x50525431;  // "PRT1"
 constexpr uint32_t kInit = 1, kProc = 2, kBye = 3;
 constexpr uint32_t kAnalyzeBegin = 4, kAnalyzeData = 5, kAnalyzeEnd = 6;
+constexpr uint32_t kCtrl = 7;  // fire-and-forget GUI control event
 constexpr uint32_t kInitOk = 101, kProcOk = 102, kLevels = 103,
-                   kErr = 199;
+                   kState = 104, kErr = 199;
 // replies must sit OUTSIDE the informational skip range 103..198
 constexpr uint32_t kAnalyzeOk = 201;
 // informational message range: clients skip these while awaiting a reply
 constexpr uint32_t kInfoFirst = 103, kInfoLast = 198;
+// kCtrl event codes (the reference's four control atoms,
+// src/phaserotate.c:800-830)
+constexpr uint32_t kCtrlUiOn = 1, kCtrlUiOff = 2, kCtrlResetPeaks = 3,
+                   kCtrlState = 4;
 
 struct Conn {
   int fd = -1;

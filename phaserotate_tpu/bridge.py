@@ -23,6 +23,16 @@ Protocol (all little-endian, fixed 8-byte header ``u32 type, u32 len``):
                  offline min-peak search, no INIT required
       ANALYZE_DATA  (5): u32 n_frames, f32 samples[n*ch]
       ANALYZE_END   (6): empty -> ANALYZE_OK reply
+      CTRL  (7): u32 event — a GUI control message for this session's
+                 plugin, the wire form of the reference's control-port
+                 atoms (src/phaserotate.c:800-830).  Fire-and-forget
+                 (no reply; effects land at the next PROC).  Events:
+                   1 ui_on   — enable metering: LEVELS stream + a STATE
+                              echo (src/phaserotate.c:808-810, 845-848)
+                   2 ui_off  — stop the LEVELS stream (:806-807)
+                   3 reset_peaks — clear peak-hold/diff accums (:811-814)
+                   4 state   — + f32 uiscale, u32 link: persist UI state
+                              in the DSP instance (:815-826)
     server -> client
       INIT_OK (101): u32 latency_frames, u32 parsiz, u32 channels
       PROC_OK (102): u32 n_frames, f32 samples[n_frames*channels]
@@ -33,6 +43,9 @@ Protocol (all little-endian, fixed 8-byte header ``u32 type, u32 len``):
                  stride): u32 count, then per entry u32 channel +
                  9 x f32 (the level fields of the reference's 'levels'
                  atom, src/phaserotate.c:741-771)
+      STATE   (104): f32 uiscale, u32 link — the 'state' atom the DSP
+                 echoes after ui_on (src/phaserotate.c:522-536);
+                 informational, precedes its PROC_OK like LEVELS
       ERR     (199): utf-8 message (connection closes after)
 
     Clients must skip informational messages (anything in 103..198)
@@ -56,8 +69,13 @@ import numpy as np
 MAGIC = 0x50525431  # "PRT1"
 T_INIT, T_PROC, T_BYE = 1, 2, 3
 T_ANALYZE_BEGIN, T_ANALYZE_DATA, T_ANALYZE_END = 4, 5, 6
+T_CTRL = 7
 T_INIT_OK, T_PROC_OK, T_LEVELS, T_ERR = 101, 102, 103, 199
+T_STATE = 104  # informational, like T_LEVELS
 T_ANALYZE_OK = 201  # NOT in the 103..198 informational range
+# CTRL event codes (the reference's four control atoms,
+# src/phaserotate.c:800-830)
+CTRL_UI_ON, CTRL_UI_OFF, CTRL_RESET_PEAKS, CTRL_STATE = 1, 2, 3, 4
 MAX_FRAMES = 1 << 20
 # bound daemon memory by accumulated SAMPLES (frames x channels), not
 # frames — 2^26 frames of 8-channel audio would otherwise buffer ~2 GiB
@@ -273,6 +291,28 @@ class _Session:
     def close(self) -> None:
         self.plugin.cleanup()  # releases the broker slot, if any
 
+    def ctrl(self, payload: bytes) -> None:
+        """Queue one GUI control event for the plugin — the wire form
+        of a control-port atom (src/phaserotate.c:800-830).  Takes
+        effect at the next PROC's run()."""
+        from .plugin.protocol import ResetPeaks, StateMsg, UiOff, UiOn
+
+        (event,) = struct.unpack_from("<I", payload, 0)
+        if event == CTRL_UI_ON:
+            self.host.control.append(UiOn())
+            self.meters = True  # per-session enable, no --meters needed
+        elif event == CTRL_UI_OFF:
+            self.host.control.append(UiOff())
+            self.meters = False
+        elif event == CTRL_RESET_PEAKS:
+            self.host.control.append(ResetPeaks())
+        elif event == CTRL_STATE:
+            uiscale, link = struct.unpack_from("<fI", payload, 4)
+            self.host.control.append(
+                StateMsg(uiscale=uiscale, link=bool(link)))
+        else:
+            raise ValueError(f"unknown CTRL event {event}")
+
     def process(self, n: int, angles: np.ndarray,
                 samples: np.ndarray) -> Tuple[np.ndarray, Optional[list]]:
         x = samples.reshape(n, self.channels).T
@@ -295,12 +335,14 @@ class _Session:
         else:
             with self.lock:  # serialize device dispatch across clients
                 out = self.host.process(x)
-        levels = None
+        levels = states = None
         if self.meters:
-            from .plugin.protocol import LevelsMsg
+            from .plugin.protocol import LevelsMsg, StateMsg
 
             levels = [m for m in self.host.notify
                       if isinstance(m, LevelsMsg)]
+            states = [m for m in self.host.notify
+                      if isinstance(m, StateMsg)]
             if not self.web_ui:  # else ui.poll() consumes + clears
                 self.host.notify.clear()
         if self.web_ui:
@@ -309,7 +351,7 @@ class _Session:
             # the notify queue AFTER the socket meters were extracted)
             self.host.ui.sync_dials()
             self.host.ui.poll()
-        return out.T.reshape(-1).astype(np.float32), levels
+        return out.T.reshape(-1).astype(np.float32), levels, states
 
 
 def _handle(conn: socket.socket, meters: bool,
@@ -378,6 +420,15 @@ def _handle(conn: socket.socket, meters: bool,
                 _send_msg(conn, T_INIT_OK, struct.pack(
                     "<III", session.plugin.latency,
                     session.plugin.geom.parsiz, channels))
+            elif mtype == T_CTRL:
+                if session is None:
+                    _send_msg(conn, T_ERR, b"CTRL before INIT")
+                    return
+                try:  # fire-and-forget: effects land at the next PROC
+                    session.ctrl(payload)
+                except Exception as e:
+                    _send_msg(conn, T_ERR, str(e).encode())
+                    return
             elif mtype == T_PROC:
                 if session is None:
                     _send_msg(conn, T_ERR, b"PROC before INIT")
@@ -394,7 +445,10 @@ def _handle(conn: socket.socket, meters: bool,
                 angles = np.frombuffer(payload, np.float32, ch, 4)
                 samples = np.frombuffer(payload, np.float32, n * ch,
                                         4 + 4 * ch)
-                out, levels = session.process(n, angles, samples)
+                out, levels, states = session.process(n, angles, samples)
+                for st in states or ():
+                    _send_msg(conn, T_STATE, struct.pack(
+                        "<fI", st.uiscale, int(st.link)))
                 if levels is not None:
                     # info messages precede the reply they belong to, so
                     # a client reading until PROC_OK consumes them in
@@ -652,6 +706,27 @@ class BridgeClient:
                 raise RuntimeError(payload.decode(errors="replace"))
             self.latency, self.parsiz, _ = struct.unpack("<III", payload)
         self.levels: list = []
+        self.states: list = []  # (uiscale, link) STATE echoes
+
+    def ctrl(self, event: int, uiscale: float = 1.0,
+             link: bool = False) -> None:
+        """Send one GUI control event (CTRL, fire-and-forget)."""
+        payload = struct.pack("<I", event)
+        if event == CTRL_STATE:
+            payload += struct.pack("<fI", uiscale, int(link))
+        _send_msg(self.sock, T_CTRL, payload)
+
+    def ui_on(self) -> None:
+        self.ctrl(CTRL_UI_ON)
+
+    def ui_off(self) -> None:
+        self.ctrl(CTRL_UI_OFF)
+
+    def reset_peaks(self) -> None:
+        self.ctrl(CTRL_RESET_PEAKS)
+
+    def set_state(self, uiscale: float, link: bool) -> None:
+        self.ctrl(CTRL_STATE, uiscale=uiscale, link=link)
 
     def process(self, block: np.ndarray, angles) -> np.ndarray:
         """block: (channels, n) float32 -> same shape, delayed output.
@@ -674,6 +749,9 @@ class BridgeClient:
                 for i in range(cnt):
                     self.levels.append(
                         struct.unpack_from("<I9f", reply, 4 + 40 * i))
+            elif mtype == T_STATE:
+                uiscale, link = struct.unpack("<fI", reply)
+                self.states.append((uiscale, bool(link)))
             elif 103 <= mtype <= 198:
                 continue  # unknown informational message: skip
             else:

@@ -173,14 +173,119 @@ def _ptr(arr):
     return arr.ctypes.data_as(ctypes.c_void_p)
 
 
-class _Lv2Host:
-    """Minimal LV2 host: wires the shim's ports to numpy buffers."""
+ATOM_NS = "http://lv2plug.in/ns/ext/atom#"
+PROT_NS = "urn:phaserotate-tpu:plugin#"
+_URID_MAP_FN = ctypes.CFUNCTYPE(ctypes.c_uint32, ctypes.c_void_p,
+                                ctypes.c_char_p)
 
-    def __init__(self, native_dir, index, rate, block):
+
+class _LV2Feature(ctypes.Structure):
+    _fields_ = [("URI", ctypes.c_char_p), ("data", ctypes.c_void_p)]
+
+
+class _UridMapStruct(ctypes.Structure):
+    _fields_ = [("handle", ctypes.c_void_p), ("map", _URID_MAP_FN)]
+
+
+class _UridMap:
+    """Host-side urid:map: sequential ids, reverse-lookup for parsing."""
+
+    def __init__(self):
+        self.uris: dict = {}
+        self.by_id: dict = {}
+
+        def _map(_handle, uri):
+            u = uri.decode()
+            if u not in self.uris:
+                self.uris[u] = len(self.uris) + 1
+                self.by_id[self.uris[u]] = u
+            return self.uris[u]
+
+        self._cb = _URID_MAP_FN(_map)  # keep the closure alive
+        self.struct = _UridMapStruct(None, self._cb)
+
+    def map(self, uri: str) -> int:
+        return self._cb(None, uri.encode())
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+def _atom_object(urid, otype_uri, props=()):
+    """Object body (id, otype, properties) — LV2 atom spec layout."""
+    import struct
+
+    body = struct.pack("<II", 0, urid.map(otype_uri))
+    for key_uri, type_uri, val in props:
+        pb = struct.pack("<IIII", urid.map(key_uri), 0, len(val),
+                         urid.map(type_uri)) + val
+        body += _pad8(pb)
+    return body
+
+
+def _control_sequence(urid, object_bodies):
+    """A control-port atom Sequence of frames=0 Object events."""
+    import struct
+
+    evs = b""
+    for body in object_bodies:
+        ev = struct.pack("<qII", 0, len(body),
+                         urid.map(ATOM_NS + "Object")) + body
+        evs += _pad8(ev)
+    seq_body = struct.pack("<II", 0, 0) + evs  # unit, pad
+    return struct.pack("<II", len(seq_body),
+                       urid.map(ATOM_NS + "Sequence")) + seq_body
+
+
+def _parse_notify(buf, urid):
+    """[(otype_uri, {key_uri: (type_uri, raw)})] from a notify buffer."""
+    import struct
+
+    size, typ = struct.unpack_from("<II", bytes(buf), 0)
+    assert typ == urid.map(ATOM_NS + "Sequence"), "not a sequence"
+    raw = bytes(buf)
+    out = []
+    off, end = 16, 8 + size
+    while off + 16 <= end:
+        _frames, bsize, btype = struct.unpack_from("<qII", raw, off)
+        if btype == urid.map(ATOM_NS + "Object"):
+            _oid, otype = struct.unpack_from("<II", raw, off + 16)
+            props = {}
+            po, pend = off + 24, off + 16 + bsize
+            while po + 16 <= pend:
+                key, _ctx, vsize, vtype = struct.unpack_from(
+                    "<IIII", raw, po)
+                props[urid.by_id[key]] = (
+                    urid.by_id.get(vtype), raw[po + 16 : po + 16 + vsize])
+                po += (16 + vsize + 7) & ~7
+            out.append((urid.by_id[otype], props))
+        off += (16 + bsize + 7) & ~7
+    return out
+
+
+class _Lv2Host:
+    """Minimal LV2 host: wires the shim's ports to numpy buffers.
+
+    ``atoms=True`` additionally supplies urid:map and connects live
+    atom control/notify buffers (the reference host contract the GUI
+    rides, gui/phaserotate.c:1136-1309)."""
+
+    def __init__(self, native_dir, index, rate, block, atoms=False):
         self.lib = _load_lv2(native_dir)
         self.desc = self.lib.lv2_descriptor(index).contents
+        features = None
+        if atoms:
+            self.urid = _UridMap()
+            self._feat = _LV2Feature(
+                b"http://lv2plug.in/ns/ext/urid#map",
+                ctypes.cast(ctypes.byref(self.urid.struct),
+                            ctypes.c_void_p))
+            self._feats = (ctypes.POINTER(_LV2Feature) * 2)(
+                ctypes.pointer(self._feat), None)
+            features = ctypes.cast(self._feats, ctypes.c_void_p)
         self.h = self.desc.instantiate(
-            ctypes.byref(self.desc), float(rate), b"/tmp", None)
+            ctypes.byref(self.desc), float(rate), b"/tmp", features)
         assert self.h
         self.channels = 2 if index == 1 else 1
         self.latency = np.zeros(1, np.float32)
@@ -188,6 +293,12 @@ class _Lv2Host:
         self.ain = [np.zeros(block, np.float32) for _ in range(self.channels)]
         self.aout = [np.zeros(block, np.float32)
                      for _ in range(self.channels)]
+        if atoms:
+            self.control_buf = np.zeros(4096, np.uint8)
+            self.notify_buf = np.zeros(4096, np.uint8)
+            self.desc.connect_port(self.h, 0, _ptr(self.control_buf))
+            self.desc.connect_port(self.h, 1, _ptr(self.notify_buf))
+            self.set_control([])
         self.desc.connect_port(self.h, 2, _ptr(self.latency))
         for c in range(self.channels):
             self.desc.connect_port(self.h, 3 + 3 * c, _ptr(self.angle[c]))
@@ -195,13 +306,27 @@ class _Lv2Host:
             self.desc.connect_port(self.h, 5 + 3 * c, _ptr(self.aout[c]))
         self.desc.activate(self.h)
 
+    def set_control(self, object_bodies):
+        seq = _control_sequence(self.urid, object_bodies)
+        self.control_buf[: len(seq)] = np.frombuffer(seq, np.uint8)
+
     def run(self, x, degrees):
+        import struct
+
         n = x.shape[-1]
         for c in range(self.channels):
             self.angle[c][0] = degrees
             self.ain[c][:n] = x[c]
+        if hasattr(self, "notify_buf"):
+            # host contract: notify holds a Chunk sized to its capacity
+            hdr = struct.pack("<II", len(self.notify_buf) - 8,
+                              self.urid.map(ATOM_NS + "Chunk"))
+            self.notify_buf[:8] = np.frombuffer(hdr, np.uint8)
         self.desc.run(self.h, n)
         return np.stack([a[:n].copy() for a in self.aout])
+
+    def notify_atoms(self):
+        return _parse_notify(self.notify_buf, self.urid)
 
     def close(self):
         self.desc.cleanup(self.h)
@@ -745,3 +870,212 @@ def test_analyze_concurrency_bounded(daemon):
             return
         _t.sleep(0.1)  # slots free asynchronously as threads unwind
     raise AssertionError("analysis slots were not returned")
+
+
+# ---------------------------------------------------------------------------
+# CTRL: the GUI control events over the wire (src/phaserotate.c:800-830)
+# ---------------------------------------------------------------------------
+
+
+def test_ctrl_ui_on_levels_and_state_echo(daemon, rng):
+    """ui_on enables the per-session LEVELS stream and triggers the
+    STATE echo — no global --meters flag needed (the reference DSP
+    starts forging levels + echoes state after the ui_on atom,
+    src/phaserotate.c:808-810, 845-848)."""
+    cl = BridgeClient(daemon, 48000, 1)
+    x = (0.3 * rng.standard_normal((1, 512))).astype(np.float32)
+    cl.process(x, 0.0)
+    assert not cl.levels and not cl.states  # UI closed: silent
+    cl.ui_on()
+    cl.process(x, 0.0)
+    assert cl.states == [(1.0, False)]  # state echo, defaults
+    assert len(cl.levels) == 1 and cl.levels[0][0] == 0  # channel 0
+    cl.process(x, 0.0)
+    assert len(cl.levels) == 2 and len(cl.states) == 1  # echo was once
+    cl.ui_off()
+    cl.process(x, 0.0)
+    assert len(cl.levels) == 2  # stream stopped
+    cl.close()
+
+
+def test_ctrl_state_persists_and_echoes(daemon, rng):
+    """A state event persists uiscale/link in the DSP instance and the
+    next ui_on echoes it back (src/phaserotate.c:815-826 + 522-536)."""
+    cl = BridgeClient(daemon, 48000, 2)
+    x = np.zeros((2, 256), np.float32)
+    cl.set_state(1.5, True)
+    cl.process(x, 0.0)  # state lands in the instance
+    cl.ui_on()
+    cl.process(x, 0.0)
+    assert cl.states == [(1.5, True)]
+    cl.close()
+
+
+def test_ctrl_reset_peaks_clears_hold(daemon, rng):
+    """reset_peaks clears the peak-hold accumulators
+    (src/phaserotate.c:811-814)."""
+    cl = BridgeClient(daemon, 48000, 1)
+    cl.ui_on()
+    loud = (0.9 * np.sign(rng.standard_normal((1, 512)))).astype(
+        np.float32)
+    quiet = (1e-3 * rng.standard_normal((1, 512))).astype(np.float32)
+    cl.process(loud, 0.0)
+    for _ in range(4):
+        cl.process(quiet, 0.0)
+    held = cl.levels[-1][3]  # in_peak field holds the loud block
+    assert held > 0.5
+    cl.reset_peaks()
+    cl.levels.clear()
+    for _ in range(12):  # latency-aligned input metering: drain delay
+        cl.process(quiet, 0.0)
+    assert cl.levels[-1][3] < 0.1
+    cl.close()
+
+
+def test_ctrl_before_init_rejected(daemon):
+    """CTRL without a session is a protocol error (like PROC)."""
+    import socket
+    import struct
+
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.connect(daemon)
+    s.sendall(struct.pack("<I", 0x50525431))
+    s.sendall(struct.pack("<II", 7, 4) + struct.pack("<I", 1))
+    reply = s.recv(65536)
+    assert struct.unpack_from("<I", reply, 0)[0] == 199  # ERR
+    s.close()
+
+
+def test_ctrl_unknown_event_rejected(daemon):
+    import socket
+    import struct
+
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.connect(daemon)
+    s.sendall(struct.pack("<I", 0x50525431))
+    s.sendall(struct.pack("<II", 1, 8) + struct.pack("<II", 48000, 1))
+    s.recv(65536)  # INIT_OK
+    s.sendall(struct.pack("<II", 7, 4) + struct.pack("<I", 99))
+    reply = s.recv(65536)
+    assert struct.unpack_from("<I", reply, 0)[0] == 199
+    s.close()
+
+
+# ---------------------------------------------------------------------------
+# Atom ports: the native shim's control/notify atoms end to end
+# ---------------------------------------------------------------------------
+
+
+def test_lv2_atom_ui_on_forges_levels_and_state(native_built, daemon,
+                                                rng, monkeypatch):
+    """ui_on on the control port -> real 'levels' + 'state' atoms on the
+    notify port, through the daemon: the reference's exact GUI protocol
+    (src/phaserotate.c:741-771, 845-848) across the process split."""
+    import struct
+
+    monkeypatch.setenv("PHASEROTATE_TPU_SOCKET", daemon)
+    host = _Lv2Host(native_built, 0, 48000, 256, atoms=True)
+    x = (0.3 * rng.standard_normal((1, 256))).astype(np.float32)
+    host.set_control([_atom_object(host.urid, PROT_NS + "ui_on")])
+    host.run(x, 0.0)
+    msgs = host.notify_atoms()
+    host.set_control([])
+    types = [t for t, _ in msgs]
+    assert PROT_NS + "levels" in types
+    assert PROT_NS + "state" in types
+    lv = dict(msgs)[PROT_NS + "levels"]
+    assert lv[PROT_NS + "l_channel"][0] == ATOM_NS + "Int"
+    assert struct.unpack("<i", lv[PROT_NS + "l_channel"][1])[0] == 0
+    # 9 level floats present, in-meter sees the block's energy
+    for field in ("l_in_cur", "l_in_mom", "l_in_peak", "l_out_cur",
+                  "l_out_mom", "l_out_peak", "l_diff_cur", "l_diff_min",
+                  "l_diff_max"):
+        typ, raw = lv[PROT_NS + field]
+        assert typ == ATOM_NS + "Float" and len(raw) == 4
+    st = dict(msgs)[PROT_NS + "state"]
+    assert struct.unpack("<f", st[PROT_NS + "uiscale"][1])[0] == 1.0
+    assert struct.unpack("<i", st[PROT_NS + "link"][1])[0] == 0
+    # steady state: levels keep flowing, state was a one-shot echo
+    host.run(x, 0.0)
+    types2 = [t for t, _ in host.notify_atoms()]
+    assert types2 == [PROT_NS + "levels"]
+    # ui_off stops the stream -> empty (but valid) sequence
+    host.set_control([_atom_object(host.urid, PROT_NS + "ui_off")])
+    host.run(x, 0.0)
+    host.set_control([])
+    host.run(x, 0.0)
+    assert host.notify_atoms() == []
+    host.close()
+
+
+def test_lv2_atom_state_roundtrip(native_built, daemon, rng,
+                                  monkeypatch):
+    """A 'state' control atom persists uiscale/link in the session and
+    the next ui_on echoes it back as a 'state' notify atom
+    (src/phaserotate.c:815-826 + 522-536)."""
+    import struct
+
+    monkeypatch.setenv("PHASEROTATE_TPU_SOCKET", daemon)
+    host = _Lv2Host(native_built, 1, 48000, 256, atoms=True)
+    x = np.zeros((2, 256), np.float32)
+    host.set_control([_atom_object(
+        host.urid, PROT_NS + "state",
+        [(PROT_NS + "uiscale", ATOM_NS + "Float",
+          struct.pack("<f", 1.5)),
+         (PROT_NS + "link", ATOM_NS + "Bool", struct.pack("<i", 1))])])
+    host.run(x, 0.0)
+    host.set_control([_atom_object(host.urid, PROT_NS + "ui_on")])
+    host.run(x, 0.0)
+    msgs = host.notify_atoms()
+    states = [p for t, p in msgs if t == PROT_NS + "state"]
+    assert len(states) == 1
+    assert struct.unpack("<f", states[0][PROT_NS + "uiscale"][1])[0] \
+        == pytest.approx(1.5)
+    assert struct.unpack("<i", states[0][PROT_NS + "link"][1])[0] == 1
+    # stereo session: one levels atom per channel
+    chans = sorted(
+        struct.unpack("<i", p[PROT_NS + "l_channel"][1])[0]
+        for t, p in msgs if t == PROT_NS + "levels")
+    assert chans == [0, 1]
+    host.close()
+
+
+def test_lv2_atom_reset_peaks(native_built, daemon, rng, monkeypatch):
+    """Click-on-meter: a reset_peaks control atom clears the peak hold
+    (gui/phaserotate.c:876-890 -> src/phaserotate.c:811-814)."""
+    import struct
+
+    monkeypatch.setenv("PHASEROTATE_TPU_SOCKET", daemon)
+    host = _Lv2Host(native_built, 0, 48000, 512, atoms=True)
+    host.set_control([_atom_object(host.urid, PROT_NS + "ui_on")])
+    loud = (0.9 * np.sign(rng.standard_normal((1, 512)))).astype(
+        np.float32)
+    quiet = (1e-3 * rng.standard_normal((1, 512))).astype(np.float32)
+    host.run(loud, 0.0)
+    host.set_control([])
+    for _ in range(4):
+        host.run(quiet, 0.0)
+    lv = dict(host.notify_atoms())[PROT_NS + "levels"]
+    held = struct.unpack("<f", lv[PROT_NS + "l_in_peak"][1])[0]
+    assert held > 0.5
+    host.set_control([_atom_object(host.urid, PROT_NS + "reset_peaks")])
+    host.run(quiet, 0.0)
+    host.set_control([])
+    for _ in range(12):  # drain the latency-aligned input delay line
+        host.run(quiet, 0.0)
+    lv = dict(host.notify_atoms())[PROT_NS + "levels"]
+    assert struct.unpack("<f", lv[PROT_NS + "l_in_peak"][1])[0] < 0.1
+    host.close()
+
+
+def test_lv2_atom_ports_inert_without_urid_map(native_built, daemon,
+                                               rng, monkeypatch):
+    """No urid:map feature -> atom ports stay inert, audio path intact
+    (the shim soft-uses the feature instead of hard-requiring it)."""
+    monkeypatch.setenv("PHASEROTATE_TPU_SOCKET", daemon)
+    host = _Lv2Host(native_built, 0, 48000, 256)  # no features at all
+    x = (0.3 * rng.standard_normal((1, 256))).astype(np.float32)
+    y = host.run(x, 0.0)
+    assert y.shape == (1, 256)
+    assert host.latency[0] == 1792
+    host.close()
