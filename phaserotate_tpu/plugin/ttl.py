@@ -126,18 +126,23 @@ def plugin_ttl(version_minor: int = 0, version_micro: int = 0) -> str:
 
 
 UI_URI = PLUGIN_URI + "#web_ui"
+X11_UI_URI = PLUGIN_URI + "#x11_ui"
 
 
 def manifest_ttl(binary: str = "phaserotate_tpu.so",
-                 ui_binary: str = "prt_ui.so") -> str:
+                 ui_binary: str = "prt_ui.so",
+                 x11_ui_binary: str = "prt_xui.so") -> str:
     """Bundle manifest (lv2ttl/manifest.ttl.in + manifest.gui.in
-    equivalent): both plugin URIs plus the browser-GUI LV2UI entry
-    (native/prt_ui.cc launcher; ui:showInterface surface served by
-    gui/web.py)."""
+    equivalent): both plugin URIs plus TWO LV2UI entries — the embedded
+    X11 surface (native/prt_xui.cc, the in-process equivalent of the
+    reference's robtk GL UI, gui/phaserotate.c:1136-1309) listed first
+    so hosts prefer it, and the browser-GUI launcher (native/prt_ui.cc;
+    ui:showInterface surface served by gui/web.py) as fallback."""
     lines = [
         "@prefix lv2:  <http://lv2plug.in/ns/lv2core#> .",
         "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
         "@prefix ui:   <http://lv2plug.in/ns/extensions/ui#> .",
+        "@prefix urid: <http://lv2plug.in/ns/ext/urid#> .",
         "",
     ]
     for uri in (PLUGIN_URI, PLUGIN_URI_STEREO):
@@ -145,11 +150,18 @@ def manifest_ttl(binary: str = "phaserotate_tpu.so",
             f"<{uri}>",
             "\ta lv2:Plugin ;",
             f"\tlv2:binary <{binary}> ;",
-            f"\tui:ui <{UI_URI}> ;",
+            f"\tui:ui <{X11_UI_URI}> , <{UI_URI}> ;",
             "\trdfs:seeAlso <phaserotate_tpu.ttl> .",
             "",
         ]
     lines += [
+        f"<{X11_UI_URI}>",
+        "\ta ui:X11UI ;",
+        f"\tui:binary <{x11_ui_binary}> ;",
+        "\tlv2:requiredFeature urid:map ;",
+        "\tlv2:optionalFeature ui:parent ;",
+        "\tlv2:extensionData ui:idleInterface, ui:showInterface .",
+        "",
         f"<{UI_URI}>",
         "\ta ui:UI ;",
         f"\tui:binary <{ui_binary}> ;",
@@ -162,9 +174,10 @@ def manifest_ttl(binary: str = "phaserotate_tpu.so",
 def write_bundle(directory: str) -> None:
     """Write a loadable LV2 bundle: manifest.ttl, phaserotate_tpu.ttl and
     the binaries it references: ``phaserotate_tpu.so`` (the native
-    engine-socket shim, native/prt_lv2.cc) and ``prt_ui.so`` (the
-    browser-GUI LV2UI launcher, native/prt_ui.cc) — the manifest must
-    never point at a binary that does not exist."""
+    engine-socket shim, native/prt_lv2.cc), ``prt_xui.so`` (the embedded
+    X11 LV2UI, native/prt_xui.cc) and ``prt_ui.so`` (the browser-GUI
+    LV2UI launcher, native/prt_ui.cc) — the manifest must never point at
+    a binary that does not exist."""
     import os
     import shutil
     import subprocess
@@ -175,12 +188,12 @@ def write_bundle(directory: str) -> None:
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), "native")
     sos = [os.path.join(native_dir, b)
-           for b in ("phaserotate_tpu.so", "prt_ui.so")]
+           for b in ("phaserotate_tpu.so", "prt_ui.so", "prt_xui.so")]
     if not all(os.path.exists(s) for s in sos):
         try:
             subprocess.run(
                 ["make", "-C", native_dir, "phaserotate_tpu.so",
-                 "prt_ui.so"],
+                 "prt_ui.so", "prt_xui.so"],
                 check=True, capture_output=True, timeout=120)
         except Exception:
             pass
