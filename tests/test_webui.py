@@ -272,11 +272,16 @@ def test_bundle_ships_ui(tmp_path):
     from phaserotate_tpu.plugin.ttl import manifest_ttl, write_bundle
 
     man = manifest_ttl()
-    assert "ui:ui <urn:phaserotate-tpu:plugin#web_ui>" in man
+    # both UIs declared, embedded X11 one first so hosts prefer it
+    assert ("ui:ui <urn:phaserotate-tpu:plugin#x11_ui> , "
+            "<urn:phaserotate-tpu:plugin#web_ui>") in man
     assert "ui:binary <prt_ui.so>" in man
+    assert "ui:binary <prt_xui.so>" in man
+    assert "a ui:X11UI" in man
     d = tmp_path / "bundle.lv2"
     write_bundle(str(d))
     assert (d / "prt_ui.so").exists()
+    assert (d / "prt_xui.so").exists()
     assert (d / "phaserotate_tpu.so").exists()
     assert "web_ui" in (d / "manifest.ttl").read_text()
 

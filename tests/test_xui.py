@@ -365,3 +365,143 @@ def test_state_atom_updates_link_display(xui2):
     # linked display freezes dial 1 input
     xui2.wheel(DIAL_CX, ROW_H + DIAL_CY, +1)
     assert xui2.dial(1) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Full stack: plugin shim + X11 UI wired together, like a DAW session
+# ---------------------------------------------------------------------------
+
+
+def test_full_stack_ui_plugin_daemon(native_built, monkeypatch, rng):
+    """One host process wires prt_xui.so to phaserotate_tpu.so over the
+    real atom ports and streams audio through the daemon — the complete
+    reference workflow (DSP src/phaserotate.c + GUI gui/phaserotate.c)
+    re-assembled across the TPU process split.  The UI's dial drives the
+    rotation; the DSP's levels stream lights the UI's meters."""
+    import subprocess
+    import sys as _sys
+
+    from test_bridge import REPO, _Lv2Host
+
+    sock = os.path.join(str(_tmp := __import__("tempfile").mkdtemp(
+        prefix="prtxuistack")), "engine.sock")
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "phaserotate_tpu.bridge", "--socket",
+         sock, "--ready-fd", str(w)],
+        pass_fds=(w,), cwd=REPO, stderr=subprocess.DEVNULL)
+    os.close(w)
+    assert os.read(r, 1) == b"R"
+    os.close(r)
+    monkeypatch.setenv("PHASEROTATE_TPU_SOCKET", sock)
+    try:
+        plug = _Lv2Host(native_built, 0, 48000, 512, atoms=True)
+        ui = _XuiHost(native_built)
+        # the host routes UI writes into the plugin's ports
+        pending_atoms = []
+
+        def pump_ui_writes():
+            for port, proto, raw in ui.writes:
+                if port == 0 and proto == ui.urid.map(
+                        ATOM_NS + "eventTransfer"):
+                    pending_atoms.append(raw)
+                elif port >= 3 and proto == 0:
+                    chn = (port - 3) // 3
+                    plug.angle[chn][0] = struct.unpack("<f", raw)[0]
+            ui.writes.clear()
+
+        def host_run(x):
+            pump_ui_writes()
+            # wrap pending UI atoms into the control sequence; both
+            # sides were built against the host's shared urid map, so
+            # the ids line up only if they share one map — use the
+            # plugin host's map for the UI-originated object bodies
+            objs = []
+            for raw in pending_atoms:
+                _size, typ = struct.unpack_from("<II", raw, 0)
+                assert ui.urid.by_id[typ] == ATOM_NS + "Object"
+                objs.append(_remap_object(ui.urid, plug.urid, raw))
+            pending_atoms.clear()
+            plug.set_control(objs)
+            y = plug.run(x, float(plug.angle[0][0]))
+            # forward the whole notify sequence to the UI (remapped)
+            seq = _remap_sequence(plug.urid, ui.urid,
+                                  bytes(plug.notify_buf.tobytes()))
+            ui.port_event(1, ui.urid.map(ATOM_NS + "eventTransfer"),
+                          seq)
+            return y
+
+        # the ui_on sent at UI instantiate reaches the DSP via the host;
+        # the input meter is latency-aligned (delay line of 1792 frames
+        # @48k, src/phaserotate.c:575-609), so stream past the latency
+        # before expecting deflection
+        x = (0.5 * rng.standard_normal((1, 512))).astype(np.float32)
+        for _ in range(8):
+            host_run(x)
+        ui.idle()
+        fb = ui.framebuffer()
+        in_row = fb[METER_Y_IN + METER_H // 2]
+        lit = int((in_row[METER_X : METER_X + METER_W]
+                   != 0xFF222222).sum())
+        assert lit > 20  # real audio lit the input meter
+
+        # turn the dial in the UI -> plugin rotates
+        ui.wheel(DIAL_CX, DIAL_CY, +1)  # +5 deg... scroll to 90
+        for _ in range(17):
+            ui.wheel(DIAL_CX, DIAL_CY, +1)
+        assert ui.dial(0) == 90.0
+        n = 8192
+        sig = (0.5 * rng.standard_normal(n)).astype(np.float32)
+        total = np.concatenate([sig, np.zeros(2048, np.float32)])
+        outs = [host_run(total[None, i : i + 512])
+                for i in range(0, len(total), 512)]
+        lat = int(plug.latency[0])
+        y = np.concatenate(outs, axis=1)[0]
+        from phaserotate_tpu.ops import rotate_fir
+
+        want = np.asarray(rotate_fir(sig, 90.0, rate=48000))
+        sl = slice(4096, n - 1)
+        np.testing.assert_allclose(y[lat:][sl], want[sl], atol=1e-4)
+        ui.close()
+        plug.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
+def _remap_object(src_map, dst_map, raw):
+    """Re-intern one Object atom's ids from one urid map into another
+    (what a real host does implicitly by sharing a single map)."""
+    size, _typ = struct.unpack_from("<II", raw, 0)
+    _oid, otype = struct.unpack_from("<II", raw, 8)
+    body = struct.pack("<II", 0, dst_map.map(src_map.by_id[otype]))
+    off, end = 16, 8 + size
+    while off + 16 <= end:
+        key, _ctx, vsize, vtype = struct.unpack_from("<IIII", raw, off)
+        body += _prop(dst_map, src_map.by_id[key],
+                      src_map.by_id[vtype],
+                      raw[off + 16 : off + 16 + vsize])
+        off += (16 + vsize + 7) & ~7
+    return body
+
+
+def _remap_sequence(src_map, dst_map, raw):
+    """Re-intern a notify Sequence's atoms into the UI's urid map."""
+    size, typ = struct.unpack_from("<II", raw, 0)
+    assert src_map.by_id[typ] == ATOM_NS + "Sequence"
+    out_events = []
+    off, end = 16, 8 + size
+    while off + 16 <= end:
+        _frames, bsize, btype = struct.unpack_from("<qII", raw, off)
+        if src_map.by_id.get(btype) == ATOM_NS + "Object":
+            body = _remap_object(
+                src_map, dst_map,
+                struct.pack("<II", bsize, btype)
+                + raw[off + 16 : off + 16 + bsize])
+            ev = struct.pack("<qII", 0, len(body),
+                             dst_map.map(ATOM_NS + "Object")) + body
+            out_events.append(ev + b"\x00" * ((8 - len(ev) % 8) % 8))
+        off += (16 + bsize + 7) & ~7
+    seq_body = struct.pack("<II", 0, 0) + b"".join(out_events)
+    return struct.pack("<II", len(seq_body),
+                       dst_map.map(ATOM_NS + "Sequence")) + seq_body
