@@ -183,7 +183,12 @@ struct Plugin {
       for (uint32_t c = 0; c < channels; ++c)
         body[channels + i * channels + c] = in[c] ? in[c][i] : 0.0f;
     uint32_t rtype;
+    // collect info messages only when they can be forged somewhere —
+    // with inert atom ports (no urid:map or notify unconnected) the
+    // buffer would otherwise grow forever on a metering daemon
+    const bool atoms_live = notify && urids.ok;
     auto on_info = [&](uint32_t type, const std::vector<uint8_t>& p) {
+      if (!atoms_live) return;
       if (type == prt::kLevels && p.size() >= 4) {
         uint32_t count;
         memcpy(&count, p.data(), 4);
@@ -204,6 +209,10 @@ struct Plugin {
       conn.close_fd();
       latency = 0;
       if (latency_port) *latency_port = 0.0f;
+      // drop half-collected meter data: forging it after a reconnect
+      // would attribute a stale spike to unrelated audio
+      pending_levels.clear();
+      have_state = false;
       bypass(n);  // degrade this block; retry cadence applies after
       return;
     }

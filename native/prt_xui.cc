@@ -465,6 +465,7 @@ struct Ui {
                                 -12, -6, -3, 0, 3, 6};
     for (int t : ticks) {
       int i = static_cast<int>(kMeterW * (t + 80.0) / 86.0);
+      if (i >= kMeterW) i = kMeterW - 1;  // +6 dB lands on the edge
       put(x + i, y, kTick);
       put(x + i, y + kMeterH - 1, kTick);
     }

@@ -240,7 +240,7 @@ class _Session:
     def __init__(self, rate: int, channels: int, meters: bool,
                  engine_lock: threading.Lock, pipeline: int = 0,
                  web_ui: bool = False, device: int = 0,
-                 rtt_s: Optional[float] = None,
+                 rtt_stats: Optional[Tuple[float, float]] = None,
                  brokers: Optional["BrokerPool"] = None):
         from .hostapp import StandaloneHost
 
@@ -251,8 +251,10 @@ class _Session:
         if pipeline < 0:  # auto: size the depth from the measured RTT
             from .core.sizes import stream_geometry_for_rate
 
+            med, p99 = rtt_stats or (0.0, 0.0)
             pipeline = auto_pipeline_depth(
-                rtt_s or 0.0, rate, stream_geometry_for_rate(rate).parsiz)
+                med, rate, stream_geometry_for_rate(rate).parsiz,
+                rtt_p99_s=p99)
         self.channels = channels
         self.rate = rate
         self.device = device
@@ -313,8 +315,9 @@ class _Session:
         else:
             raise ValueError(f"unknown CTRL event {event}")
 
-    def process(self, n: int, angles: np.ndarray,
-                samples: np.ndarray) -> Tuple[np.ndarray, Optional[list]]:
+    def process(
+        self, n: int, angles: np.ndarray, samples: np.ndarray,
+    ) -> Tuple[np.ndarray, Optional[list], Optional[list]]:
         x = samples.reshape(n, self.channels).T
         with self._ovr_mu:
             if self.ui_override is not None:
@@ -358,7 +361,7 @@ def _handle(conn: socket.socket, meters: bool,
             pool: "DevicePool", pipeline: int = 0,
             registry: Optional[dict] = None,
             sid_out: Optional[list] = None,
-            rtt_s: Optional[float] = None,
+            rtt_stats: Optional[Tuple[float, float]] = None,
             brokers: Optional["BrokerPool"] = None) -> None:
     if struct.unpack("<I", _recv_exact(conn, 4))[0] != MAGIC:
         _send_msg(conn, T_ERR, b"bad magic")
@@ -408,7 +411,8 @@ def _handle(conn: socket.socket, meters: bool,
                     session = _Session(rate, channels, meters, lock,
                                        pipeline=pipeline,
                                        web_ui=registry is not None,
-                                       device=device, rtt_s=rtt_s,
+                                       device=device,
+                                       rtt_stats=rtt_stats,
                                        brokers=brokers)
                     if registry is not None:
                         sid = _register_session(registry, session)
@@ -478,6 +482,16 @@ def measure_dispatch_rtt(reps: int = 5) -> float:
     """Median seconds for a trivial dispatch + scalar readback — the
     device round trip that bounds synchronous streaming (and sizes the
     automatic pipeline depth)."""
+    return measure_dispatch_rtt_stats(reps)[0]
+
+
+def measure_dispatch_rtt_stats(reps: int = 40) -> Tuple[float, float]:
+    """(median, p99) seconds for a trivial dispatch + scalar readback.
+
+    The p99 matters as much as the median on a tunneled device: RTT
+    spikes of several times the median are routine, and a pipeline
+    depth sized to the median alone drops blocks exactly at those
+    spikes (observed: median 37 ms with p99 bursts past 70 ms)."""
     import time
 
     import jax
@@ -487,29 +501,34 @@ def measure_dispatch_rtt(reps: int = 5) -> float:
     x = jnp.zeros((8,), jnp.float32)
     float(f(x)[0])  # compile
     times = []
-    for _ in range(reps):
+    for _ in range(max(reps, 3)):
         t0 = time.perf_counter()
         float(f(x)[0])
         times.append(time.perf_counter() - t0)
     times.sort()
-    return times[len(times) // 2]
+    p99 = times[min(len(times) - 1, int(0.99 * len(times)))]
+    return times[len(times) // 2], p99
 
 
 def auto_pipeline_depth(rtt_s: float, rate: int, parsiz: int,
-                        slack_frames: int = 2, max_depth: int = 64) -> int:
-    """Frames of lookahead: ``ceil(RTT / frame_budget) + slack``.
+                        slack_frames: int = 2, max_depth: int = 64,
+                        rtt_p99_s: Optional[float] = None) -> int:
+    """Frames of lookahead: ``ceil(max(RTT, p99 RTT) / frame) + slack``.
 
     A readback issued at frame j is needed at frame j+depth, so depth
-    frames of budget must cover one round trip; ``slack_frames`` absorbs
-    p99 jitter over the median RTT.  Round-3 verdict #3: the old 2x-RTT
-    margin over-provisioned (85 ms extra latency against a ~30 ms RTT);
-    this sizing lands at ~RTT + 2 frames (~40 ms there), inside the
-    ~2xRTT budget with measured p99 still >= realtime.
+    frames of budget must cover one round trip INCLUDING its jitter
+    tail: a depth sized to the median alone underruns at every p99
+    spike (bench observation: depth 10 covering a 37 ms median left
+    single-session p99 at 0.59x realtime when spikes hit ~70 ms).
+    ``slack_frames`` then covers what the p99 sample missed.  When no
+    p99 figure is supplied the median is used alone — callers with a
+    real-time contract should pass one (serve() does).
 
     On a local device (rtt ~0.1 ms) this is 2-3 frames of lookahead; on
-    a remote tunnel (rtt ~30 ms) it lands around 8 at 48 kHz."""
+    a jittery remote tunnel it approaches the old fixed depth 16."""
     frame_s = parsiz / float(rate)
-    depth = int(np.ceil(rtt_s / frame_s)) + int(slack_frames)
+    cover = max(rtt_s, rtt_p99_s or 0.0)
+    depth = int(np.ceil(cover / frame_s)) + int(slack_frames)
     return max(1, min(depth, max_depth))
 
 
@@ -583,7 +602,7 @@ def _register_session(registry: dict, session: "_Session") -> int:
 def _client_loop(conn: socket.socket, meters: bool,
                  pool: "DevicePool", pipeline: int = 0,
                  registry: Optional[dict] = None,
-                 rtt_s: Optional[float] = None,
+                 rtt_stats: Optional[Tuple[float, float]] = None,
                  brokers: Optional["BrokerPool"] = None) -> None:
     """Run one connection to completion with the per-client error
     containment the daemon guarantees: a bad or dead client is reported
@@ -591,7 +610,7 @@ def _client_loop(conn: socket.socket, meters: bool,
     my_sids: list = []
     try:
         _handle(conn, meters, pool, pipeline, registry, my_sids,
-                rtt_s, brokers)
+                rtt_stats, brokers)
     except (ConnectionError, socket.timeout):
         pass  # dead/silent client: drop quietly, keep serving others
     except Exception as e:  # a bad client must never kill the daemon
@@ -641,11 +660,12 @@ def serve(path: str, once: bool = False, meters: bool = False,
         pass
     pool = DevicePool(devices)
     brokers = BrokerPool(batch_sessions) if batch_sessions > 0 else None
-    rtt_s: Optional[float] = None
+    rtt_stats: Optional[Tuple[float, float]] = None
     if pipeline < 0:  # auto depth: measure the dispatch round trip once
-        rtt_s = measure_dispatch_rtt()
-        print(f"bridge: dispatch round trip {rtt_s * 1e3:.1f} ms -> "
-              "auto pipeline depth per session", file=sys.stderr)
+        rtt_stats = measure_dispatch_rtt_stats()
+        print(f"bridge: dispatch round trip {rtt_stats[0] * 1e3:.1f} ms "
+              f"(p99 {rtt_stats[1] * 1e3:.1f} ms) -> auto pipeline "
+              "depth per session", file=sys.stderr)
     registry: Optional[dict] = None
     webui = None
     if ui_port is not None:
@@ -667,12 +687,12 @@ def serve(path: str, once: bool = False, meters: bool = False,
                 conn.settimeout(timeout)
             if once:
                 _client_loop(conn, meters, pool, pipeline, registry,
-                             rtt_s, brokers)
+                             rtt_stats, brokers)
                 return
             threading.Thread(
                 target=_client_loop,
-                args=(conn, meters, pool, pipeline, registry, rtt_s,
-                      brokers),
+                args=(conn, meters, pool, pipeline, registry,
+                      rtt_stats, brokers),
                 daemon=True).start()
     finally:
         if webui is not None:
