@@ -484,7 +484,11 @@ def _spawn_daemon(sock, *extra_args):
     proc = subprocess.Popen(
         [sys.executable, "-m", "phaserotate_tpu.bridge", "--socket",
          sock, "--ready-fd", str(w), *extra_args],
-        pass_fds=(w,), stderr=subprocess.DEVNULL)
+        pass_fds=(w,), stderr=subprocess.DEVNULL,
+        # the package must be importable regardless of the CALLER's
+        # cwd (a bench driven from outside the repo otherwise kills
+        # the daemon at -m resolution time)
+        cwd=os.path.dirname(os.path.abspath(__file__)))
     os.close(w)
     if os.read(r, 1) != b"R":
         raise RuntimeError("bridge daemon failed to start")
@@ -526,11 +530,24 @@ def bench_daemon(rate=48000, block=256, n_iters=300):
 def bench_daemon_sessions(rate=48000, block=256, counts=(1, 2, 4, 8),
                           n_iters=200):
     """Serving capacity (round-3 verdict #2): how many concurrent
-    block-``block`` sessions one daemon sustains at real time, with
-    cross-session batched dispatch (--batch-sessions) and auto-sized
-    pipelining.  A count passes when EVERY session's p99 block time
-    stays inside the block budget (p99 xrt >= 1).
-    Returns (max_rt_sessions, {n: worst_p99_xrt})."""
+    block-``block`` sessions one daemon serves, with cross-session
+    batched dispatch (--batch-sessions) and auto-sized pipelining.
+
+    Two criteria per count:
+      * sustained — every session streams at >= 1x realtime over the
+        whole run (sum of block times <= n x budget).  This is the
+        serving-capacity question: the dispatch pipeline absorbs
+        individual call stalls, so an occasional slow block does not
+        underrun a stream that stays ahead overall.
+      * p99 — every session's 99th-percentile BLOCK time fits the
+        budget.  A synchronous client (the LV2 shim blocks its host's
+        callback on each round trip) needs this stricter bar; on a
+        tunnel with RTT spikes several times the median it is
+        unreachable at small blocks, and reporting 0 here is the
+        honest statement of that.
+
+    Returns (max_sustained_sessions, max_p99_sessions,
+             {n: (worst_sustained_xrt, worst_p99_xrt)})."""
     import tempfile
     import threading
 
@@ -541,7 +558,7 @@ def bench_daemon_sessions(rate=48000, block=256, counts=(1, 2, 4, 8),
                          "--batch-sessions", str(max(counts)))
     budget = block / rate
     results = {}
-    best = 0
+    best_sustained = best_p99 = 0
     try:
         for n_sessions in counts:
             clients = [BridgeClient(sock, rate, 1)
@@ -551,7 +568,7 @@ def bench_daemon_sessions(rate=48000, block=256, counts=(1, 2, 4, 8),
             for cl in clients:
                 for _ in range(72):
                     cl.process(x, 30.0)  # warm + fill pipelines
-            p99s = [0.0] * n_sessions
+            stats = [None] * n_sessions
 
             def run(idx, cl):
                 times = []
@@ -559,9 +576,11 @@ def bench_daemon_sessions(rate=48000, block=256, counts=(1, 2, 4, 8),
                     t0 = time.perf_counter()
                     cl.process(x, 30.0)
                     times.append(time.perf_counter() - t0)
+                total = sum(times)
                 times.sort()
-                p99s[idx] = times[min(len(times) - 1,
-                                      int(0.99 * len(times)))]
+                p99 = times[min(len(times) - 1,
+                                int(0.99 * len(times)))]
+                stats[idx] = (n_iters * budget / total, budget / p99)
 
             threads = [threading.Thread(target=run, args=(i, cl))
                        for i, cl in enumerate(clients)]
@@ -571,13 +590,17 @@ def bench_daemon_sessions(rate=48000, block=256, counts=(1, 2, 4, 8),
                 t.join()
             for cl in clients:
                 cl.close()
-            worst_xrt = budget / max(p99s)
-            results[n_sessions] = round(worst_xrt, 2)
-            if worst_xrt >= 1.0:
-                best = n_sessions
-            else:
-                break
-        return best, results
+            worst_sus = min(s[0] for s in stats)
+            worst_p99 = min(s[1] for s in stats)
+            results[n_sessions] = (round(worst_sus, 2),
+                                   round(worst_p99, 2))
+            # evaluate EVERY count: brokered sessions share dispatches,
+            # so larger counts can pass where a smaller one failed
+            if worst_p99 >= 1.0:
+                best_p99 = n_sessions
+            if worst_sus >= 1.0:
+                best_sustained = n_sessions
+        return best_sustained, best_p99, results
     finally:
         proc.terminate()
         proc.wait(timeout=10)
@@ -607,8 +630,8 @@ def main():
     _stage(f"stream pipelined done: depth {pipe_depth}")
     rtt_ms, rtt_xrt, rtt_p99 = bench_daemon()
     _stage("daemon done")
-    sess_rt, sess_detail = bench_daemon_sessions()
-    _stage(f"sessions done: {sess_rt} at RT")
+    sess_rt, sess_rt_p99, sess_detail = bench_daemon_sessions()
+    _stage(f"sessions done: {sess_rt} sustained / {sess_rt_p99} p99")
     print(
         json.dumps(
             {
@@ -653,7 +676,12 @@ def main():
                 "daemon_rtt_ms_block256": round(rtt_ms, 2),
                 "daemon_xrt_block256": round(rtt_xrt, 2),
                 "daemon_rtt_p99_ms": round(rtt_p99, 2),
-                "daemon_sessions_at_rt_p99": sess_rt,
+                # serving capacity: sustained = sessions streaming
+                # >= 1x realtime end to end (the pipeline absorbs call
+                # stalls); p99 = the stricter per-block criterion a
+                # synchronous client needs, honest-zero on a spiky link
+                "daemon_sessions_at_rt": sess_rt,
+                "daemon_sessions_at_rt_p99": sess_rt_p99,
                 "daemon_sessions_xrt": sess_detail,
                 "rotate_batch": rot_batch,
                 "platform": platform,

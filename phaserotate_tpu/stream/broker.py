@@ -78,13 +78,29 @@ class StreamBroker:
     """
 
     def __init__(self, geom: StreamGeometry, channels: int,
-                 capacity: int = 8, depth: int = 16):
+                 capacity: int = 8, depth: int = 16,
+                 hold_frac: float = 0.25):
         if capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.geom = geom
         self.channels = channels
         self.capacity = capacity
         self.depth = int(depth)
+        # coalescing hold: free-running sessions do NOT align on their
+        # own — without a hold the dispatcher drains singleton batches
+        # in strict alternation (measured: 2 sessions = 2 serialized
+        # dispatches per block period each).  Waiting up to this
+        # fraction of one frame budget for the other open slots turns
+        # N near-simultaneous submits into one dispatch; the cost is a
+        # bounded sub-frame latency only when some open slot is idle.
+        self.hold_s = float(hold_frac) * geom.parsiz / float(geom.rate)
+        # a slot only counts toward the coalescing target while it is
+        # actively submitting (last submit within ~2 frame periods):
+        # an open-but-idle slot (host transport stopped, session
+        # warming up serially) must not make every dispatch pay the
+        # full hold waiting for a frame that is not coming
+        self._active_window_s = 2.5 * geom.parsiz / float(geom.rate)
+        self._last_seen = np.zeros(capacity, np.float64)
         self._state = init_state(geom, (capacity, channels))
         self._mu = threading.Lock()
         self._free: List[int] = list(range(capacity))
@@ -101,6 +117,13 @@ class StreamBroker:
         self._frames = np.zeros((capacity, channels, geom.parsiz),
                                 np.float32)
         self._targets = np.zeros((capacity, channels), np.float32)
+        # device-resident cache for the small per-dispatch operands
+        # (active/reset masks, target angles): on a tunneled device
+        # every host->device transfer op costs ~1 ms regardless of
+        # size, and these arrays rarely change between dispatches —
+        # transferring them fresh each block tripled the dispatch
+        # cadence (measured 4.7 ms vs 1.6 ms for the bare engine step)
+        self._operand_cache: Dict[tuple, object] = {}
         self.dispatches = 0       # total device dispatches (telemetry)
         self.frames_served = 0    # total slot-frames served
 
@@ -147,8 +170,11 @@ class StreamBroker:
         """Advance ``slot`` by one (channels, parsiz) frame; returns the
         slot's output from ``depth`` dispatches ago (zeros until the
         pipeline fills).  Blocks until this frame's dispatch ran."""
+        import time
+
         done = threading.Event()
         box: list = [None]
+        self._last_seen[slot] = time.perf_counter()
         with self._mu:
             if slot in self._pending:
                 # a second frame before the first dispatched: wait our
@@ -160,6 +186,7 @@ class StreamBroker:
             self._pending[slot] = (np.array(frame, np.float32),
                                    np.array(degrees, np.float32),
                                    (done, box))
+            self._cv.notify_all()  # a holding dispatcher may be waiting
             if self._dispatching:
                 dispatcher = False
             else:
@@ -170,13 +197,42 @@ class StreamBroker:
         done.wait()
         return box[0]
 
+    def _cached_operand(self, arr: np.ndarray):
+        """Device copy of a small operand, reused while its contents
+        repeat (the steady-state hit rate is ~100%: masks and angles
+        only change on open/close/automation)."""
+        key = (arr.dtype.str, arr.shape, arr.tobytes())
+        dev = self._operand_cache.get(key)
+        if dev is None:
+            if len(self._operand_cache) > 256:
+                self._operand_cache.clear()
+            dev = jnp.asarray(arr)
+            self._operand_cache[key] = dev
+        return dev
+
     def _drain(self) -> None:
+        import time
+
         while True:
             with self._mu:
                 if not self._pending:
                     self._dispatching = False
                     self._cv.notify_all()
                     return
+                # coalescing hold: give the other RECENTLY ACTIVE slots
+                # a bounded chance to land in THIS dispatch
+                if self.hold_s > 0.0:
+                    deadline = time.perf_counter() + self.hold_s
+
+                    def want() -> int:
+                        cutoff = (time.perf_counter()
+                                  - self._active_window_s)
+                        return int((self._last_seen > cutoff).sum())
+
+                    while len(self._pending) < want():
+                        left = deadline - time.perf_counter()
+                        if left <= 0 or not self._cv.wait(timeout=left):
+                            break
                 batch = self._pending
                 self._pending = {}
                 reset = self._reset_pending.copy()
@@ -191,8 +247,10 @@ class StreamBroker:
                     self._targets[slot] = degs
                     active[slot] = True
                 self._state, y = _slot_step(
-                    self._state, self._frames, self._targets,
-                    jnp.asarray(active), jnp.asarray(reset), self.geom)
+                    self._state, self._frames,
+                    self._cached_operand(self._targets),
+                    self._cached_operand(active),
+                    self._cached_operand(reset), self.geom)
                 if hasattr(y, "copy_to_host_async"):
                     y.copy_to_host_async()
                 self.dispatches += 1

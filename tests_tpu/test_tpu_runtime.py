@@ -272,3 +272,41 @@ def test_ogg_to_sweep_on_chip(rng, tmp_path):
     assert tb.shape == (1, 360) and np.isfinite(tb).all()
     # a steady tone's min-peak rotation gains headroom vs angle 0
     assert tb.min() <= tb[0, 0] + 1e-6
+
+
+def test_ctrl_metering_on_chip(rng, tmp_path):
+    """The CTRL wire path with the engine on the TPU: ui_on enables the
+    per-session LEVELS stream + STATE echo, reset_peaks clears the peak
+    hold — the GUI protocol against the real chip."""
+    from phaserotate_tpu.bridge import BridgeClient, serve
+
+    sock = str(tmp_path / "engine.sock")
+    t = threading.Thread(
+        target=serve, kwargs=dict(path=sock, once=True, timeout=120.0),
+        daemon=True)
+    t.start()
+    for _ in range(200):
+        if os.path.exists(sock):
+            break
+        import time
+
+        time.sleep(0.05)
+    cl = BridgeClient(sock, 48000, 1)
+    loud = (0.9 * np.sign(rng.standard_normal((1, 512)))).astype(
+        np.float32)
+    quiet = (1e-3 * rng.standard_normal((1, 512))).astype(np.float32)
+    cl.process(loud, 0.0)
+    assert not cl.levels  # UI closed: no stream
+    cl.ui_on()
+    cl.process(loud, 0.0)
+    assert cl.states == [(1.0, False)]
+    for _ in range(6):
+        cl.process(quiet, 0.0)
+    assert cl.levels[-1][3] > 0.5  # in_peak holds the loud block
+    cl.reset_peaks()
+    cl.levels.clear()
+    for _ in range(12):
+        cl.process(quiet, 0.0)
+    assert cl.levels[-1][3] < 0.1
+    cl.close()
+    t.join(timeout=30)
