@@ -520,14 +520,20 @@ def auto_pipeline_depth(rtt_s: float, rate: int, parsiz: int,
     tail: a depth sized to the median alone underruns at every p99
     spike (bench observation: depth 10 covering a 37 ms median left
     single-session p99 at 0.59x realtime when spikes hit ~70 ms).
-    ``slack_frames`` then covers what the p99 sample missed.  When no
-    p99 figure is supplied the median is used alone — callers with a
-    real-time contract should pass one (serve() does).
+    The p99 contribution is capped at 2x the median — typical spikes
+    are absorbed, while a single pathological outlier in the p99
+    sample cannot inflate the whole session's latency (a 125 ms
+    outlier once sized depth 26 = +139 ms; no finite depth covers a
+    link's worst case, and beyond ~2xRTT the latency cost outweighs
+    the shrinking dropout margin).  ``slack_frames`` then covers what
+    the capped sample missed.  When no p99 figure is supplied the
+    median is used alone — callers with a real-time contract should
+    pass one (serve() does).
 
     On a local device (rtt ~0.1 ms) this is 2-3 frames of lookahead; on
     a jittery remote tunnel it approaches the old fixed depth 16."""
     frame_s = parsiz / float(rate)
-    cover = max(rtt_s, rtt_p99_s or 0.0)
+    cover = max(rtt_s, min(rtt_p99_s or 0.0, 2.0 * rtt_s))
     depth = int(np.ceil(cover / frame_s)) + int(slack_frames)
     return max(1, min(depth, max_depth))
 
