@@ -132,6 +132,21 @@ def analyze_paths(
                 audio[:, :n_pad]
         return buf
 
+    def finish(pending, rate) -> None:
+        """Force one in-flight sweep and emit its selections."""
+        names, handles, _buf = pending
+        tables = np.asarray(handles[0])
+        rot0 = np.asarray(handles[1])
+        sel = select_min_peak_angles_batch(
+            tables, stride=stride, link_channels=link_channels,
+            rot0=rot0)
+        for i, p in enumerate(names):
+            results[p] = (sel[i], rate)
+            if ckpt is not None:
+                ckpt.put(p, tables[i], rot0[i])
+            if progress:
+                progress(p, sel[i], cached=False)
+
     try:
         for key, group in buckets.items():
             rate, channels, n_pad = key
@@ -139,22 +154,22 @@ def analyze_paths(
             batches = [group[i : i + batch]
                        for i in range(0, len(group), batch)]
             fut = pool.submit(stage, batches[0], key)
+            # one batch of readback slack: batch k's sweep is forced
+            # only after batch k+1's transfer+sweep were dispatched, so
+            # on a slow host->device link the wire streams continuously
+            # instead of stalling on each readback (the staging buffer
+            # rides in `pending` — device_put may read it async)
+            pending = None
             for bi, names in enumerate(batches):
                 buf = fut.result()
                 if bi + 1 < len(batches):
                     fut = pool.submit(stage, batches[bi + 1], key)
-                tables, rot0 = sweep_peaks_aux_pcm16(buf, geom)
-                tables = np.asarray(tables)
-                rot0 = np.asarray(rot0)
-                sel = select_min_peak_angles_batch(
-                    tables, stride=stride, link_channels=link_channels,
-                    rot0=rot0)
-                for i, p in enumerate(names):
-                    results[p] = (sel[i], rate)
-                    if ckpt is not None:
-                        ckpt.put(p, tables[i], rot0[i])
-                    if progress:
-                        progress(p, sel[i], cached=False)
+                handles = sweep_peaks_aux_pcm16(buf, geom)
+                if pending is not None:
+                    finish(pending, rate)
+                pending = (names, handles, buf)
+            if pending is not None:
+                finish(pending, rate)
     finally:
         pool.shutdown()
     return results
