@@ -154,7 +154,8 @@ void usage() {
           "  -s <path>   engine socket (default /tmp/phaserotate_tpu.sock)\n"
           "  -a <deg[,deg]> rotation angle(s), default 0\n"
           "  -b <n>      block size in frames (default 1024)\n"
-          "  -m          print engine meter levels (daemon --meters)\n"
+          "  -m          print engine meter levels (enabled per "
+          "session via CTRL ui_on)\n"
           "  -r          pace at 1x realtime\n"
           "  -A          analyze: find the minimum-peak angle(s)\n"
           "  -l          link channels (-A): minimize the downmix peak\n"
@@ -290,6 +291,12 @@ int main(int argc, char** argv) {
   std::vector<uint8_t> reply;
   fprintf(stderr, "connected: rate %u, %u ch, latency %u frames\n", in.rate,
           ch, latency);
+  if (meters) {
+    // per-session metering via CTRL ui_on (src/phaserotate.c:808-810):
+    // no daemon-wide --meters flag needed
+    uint32_t ev = prt::kCtrlUiOn;
+    conn.send_msg(prt::kCtrl, &ev, sizeof ev);
+  }
 
   const size_t n = in.frames();
   const size_t total = n + latency;  // flush latency worth of zeros

@@ -88,6 +88,12 @@ typedef struct {
   int (*hide)(LV2UI_Handle ui);
 } LV2UI_Show_Interface;
 
+// ui:resize feature (host-provided): the UI reports its size
+typedef struct {
+  void* handle;
+  int (*ui_resize)(void* handle, int width, int height);
+} LV2UI_Resize;
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -739,13 +745,19 @@ LV2UI_Handle instantiate(const LV2UI_Descriptor*, const char* plugin_uri,
     return nullptr;
   }
   unsigned long parent = 0;
+  const LV2UI_Resize* resize = nullptr;
   for (const LV2_Feature_* const* f = features; f && *f; ++f) {
     if (strcmp((*f)->URI, prt::kUridMapUri) == 0)
       ui->urids.map_all(static_cast<const prt::UridMap*>((*f)->data));
     else if (strcmp((*f)->URI,
                     "http://lv2plug.in/ns/extensions/ui#parent") == 0)
       parent = reinterpret_cast<uintptr_t>((*f)->data);
+    else if (strcmp((*f)->URI,
+                    "http://lv2plug.in/ns/extensions/ui#resize") == 0)
+      resize = static_cast<const LV2UI_Resize*>((*f)->data);
   }
+  if (resize && resize->ui_resize)  // report our fixed surface size
+    resize->ui_resize(resize->handle, ui->width, ui->height);
   ui->x_open(parent);
   ui->render();
   if (widget) *widget = reinterpret_cast<LV2UI_Widget>(ui->win);

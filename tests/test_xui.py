@@ -505,3 +505,46 @@ def _remap_sequence(src_map, dst_map, raw):
     seq_body = struct.pack("<II", 0, 0) + b"".join(out_events)
     return struct.pack("<II", len(seq_body),
                        dst_map.map(ATOM_NS + "Sequence")) + seq_body
+
+
+def test_ui_resize_feature_reports_size(native_built):
+    """A host providing ui:resize learns the UI's surface size at
+    instantiate (the embedding contract DAWs rely on)."""
+    os.environ["PHASEROTATE_TPU_XUI"] = "headless"
+    lib = ctypes.CDLL(os.path.join(native_built, "prt_xui.so"))
+    lib.lv2ui_descriptor.restype = ctypes.POINTER(_LV2UIDescriptor)
+    lib.lv2ui_descriptor.argtypes = [ctypes.c_uint32]
+    desc = lib.lv2ui_descriptor(0).contents
+    urid = _UridMap()
+    got = []
+    RESIZE_FN = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p,
+                                 ctypes.c_int, ctypes.c_int)
+
+    def _resize(_h, w, h):
+        got.append((w, h))
+        return 0
+
+    resize_cb = RESIZE_FN(_resize)
+
+    class _Resize(ctypes.Structure):
+        _fields_ = [("handle", ctypes.c_void_p), ("ui_resize", RESIZE_FN)]
+
+    rz = _Resize(None, resize_cb)
+    feats = [
+        _LV2Feature(b"http://lv2plug.in/ns/ext/urid#map",
+                    ctypes.cast(ctypes.byref(urid.struct),
+                                ctypes.c_void_p)),
+        _LV2Feature(b"http://lv2plug.in/ns/extensions/ui#resize",
+                    ctypes.cast(ctypes.byref(rz), ctypes.c_void_p)),
+    ]
+    arr = (ctypes.POINTER(_LV2Feature) * 3)(
+        ctypes.pointer(feats[0]), ctypes.pointer(feats[1]), None)
+    write_cb = _WRITE_FN(lambda *_: None)
+    widget = ctypes.c_void_p()
+    h = desc.instantiate(
+        ctypes.byref(desc), b"urn:phaserotate-tpu:plugin#stereo",
+        b"/tmp", write_cb, None, ctypes.byref(widget),
+        ctypes.cast(arr, ctypes.c_void_p))
+    assert h
+    assert got == [(WIN_W, 2 * ROW_H + LINK_ROW_H)]
+    desc.cleanup(h)
