@@ -52,29 +52,14 @@ def _bucket_key(rate: int, channels: int, n: int, parsiz: int):
 
 def _probe(path: str) -> Tuple[int, int, int]:
     """(rate, channels, samples) from headers where possible — pass 1
-    must not hold decoded audio for the whole fleet (a 1k-file job
-    would pin ~10 GB; this host backs fresh pages at ~0.7 ms/page)."""
-    with open(path, "rb") as f:
-        head = f.read(16)
-    if head[:4] == b"RIFF":
-        from .io.wav import _read_wav_chunks
+    must not hold (or even produce) decoded audio for the whole fleet:
+    a 1k-file job would pin ~10 GB, and lossy inputs would pay their
+    decode twice (probe + stage).  io.probe_audio reads WAV/FLAC chunk
+    headers and Ogg Vorbis/Opus identification + final-granule data;
+    only headerless formats fall back to a decode."""
+    from .io.audio import probe_audio
 
-        wformat, bits, channels, rate, data, _meta = \
-            _read_wav_chunks(path)
-        return rate, channels, len(data) // (channels * max(1, bits // 8))
-    from .io.flac import _read_flac_header, is_flac
-
-    if is_flac(head):
-        with open(path, "rb") as f:
-            blob = f.read()
-        _pos, rate, channels, _bits, total, _meta = \
-            _read_flac_header(blob)
-        if total:
-            return rate, channels, total
-    from .io import read_audio_pcm16
-
-    audio, rate, _ = read_audio_pcm16(path)
-    return rate, audio.shape[0], audio.shape[1]
+    return probe_audio(path)
 
 
 def analyze_paths(

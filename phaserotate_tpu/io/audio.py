@@ -36,7 +36,7 @@ from .vorbis import is_ogg, read_ogg
 from .wav import WavFormatError, WavMetadata, read_wav, read_wav_pcm16, \
     write_wav
 
-__all__ = ["read_audio", "read_audio_pcm16", "write_audio"]
+__all__ = ["read_audio", "read_audio_pcm16", "probe_audio", "write_audio"]
 
 _AIFF_EXT = (".aiff", ".aif", ".aifc")
 
@@ -91,6 +91,70 @@ def read_audio_pcm16(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     audio, rate, meta = read_audio(path)
     q = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
     return q, rate, meta
+
+
+def _ogg_final_granule(path: str) -> int:
+    """Granule position of the stream's last Ogg page (total PCM
+    frames for Vorbis; 48 kHz frames incl. preskip for Opus), found by
+    scanning the file tail — no decode."""
+    import os
+    import struct
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, size - 65536))
+        tail = f.read()
+    i = tail.rfind(b"OggS")
+    if i < 0 or i + 14 > len(tail):
+        return -1
+    return struct.unpack_from("<q", tail, i + 6)[0]
+
+
+def probe_audio(path: str) -> Tuple[int, int, int]:
+    """(rate, channels, frames) from headers where possible.
+
+    A fleet's bucketing pass (fleet.py) must not decode audio it will
+    decode again at staging time: WAV/FLAC read chunk headers, Ogg
+    Vorbis/Opus read the identification packet plus the final page's
+    granule position; only formats without a cheap header path (MP3
+    without a seek table, the exotic containers) fall back to a full
+    decode."""
+    import struct
+
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if head[:4] == b"RIFF":
+        from .wav import _read_wav_chunks
+
+        _wformat, bits, channels, rate, data, _meta = \
+            _read_wav_chunks(path)
+        return rate, channels, len(data) // (channels * max(1, bits // 8))
+    if is_flac(head):
+        from .flac import _read_flac_header
+
+        with open(path, "rb") as f:
+            blob = f.read(1 << 20)  # metadata only; frames not parsed
+        _pos, rate, channels, _bits, total, _meta = \
+            _read_flac_header(blob)
+        if total:
+            return rate, channels, total
+    elif is_ogg(head):
+        with open(path, "rb") as f:
+            first = f.read(512)
+        granule = _ogg_final_granule(path)
+        i = first.find(b"OpusHead")
+        if i >= 0 and granule >= 0 and len(first) >= i + 12:
+            channels = first[i + 9]
+            (preskip,) = struct.unpack_from("<H", first, i + 10)
+            return 48000, channels, max(0, granule - preskip)
+        i = first.find(b"\x01vorbis")
+        if i >= 0 and granule >= 0 and len(first) >= i + 16:
+            channels = first[i + 11]
+            (rate,) = struct.unpack_from("<I", first, i + 12)
+            if rate and channels:
+                return rate, channels, granule
+    audio, rate, _meta = read_audio_pcm16(path)
+    return rate, audio.shape[0], audio.shape[1]
 
 
 def _sniff(path: str) -> str:

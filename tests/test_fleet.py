@@ -126,3 +126,38 @@ def test_fleet_lossy_inputs(tmp_path, rng):
     q = np.clip(np.rint(audio * 32768.0), -32768, 32767) / 32768.0
     want = find_min_peak_angle(q.astype(np.float32), rate=rate)
     assert r.angles_units == want.angles_units
+
+
+def test_probe_audio_headers_match_decode(tmp_path, rng):
+    """probe_audio reports exactly what a full decode yields, without
+    decoding (WAV/FLAC headers; Ogg ID packet + final granule)."""
+    import pytest
+
+    from phaserotate_tpu.io import read_audio, write_audio
+    from phaserotate_tpu.io.audio import probe_audio
+    from phaserotate_tpu.io.vorbisenc import available as vorbis_encoder_available
+
+    rate, n = 48000, 17311
+    x = (0.4 * np.sin(2 * np.pi * 220 *
+                      np.arange(n) / rate)).astype(np.float32)
+    files = []
+    for name in ("p.wav", "p.flac"):
+        p = str(tmp_path / name)
+        write_audio(p, x[None], rate)
+        files.append(p)
+    if vorbis_encoder_available():
+        p = str(tmp_path / "p.ogg")
+        write_audio(p, np.stack([x, -x]), rate)
+        files.append(p)
+    from phaserotate_tpu.io.opus import available as opus_available
+
+    if opus_available():
+        p = str(tmp_path / "p.opus")
+        write_audio(p, x[None], rate)
+        files.append(p)
+    for p in files:
+        audio, arate, _ = read_audio(p)
+        rate_p, ch_p, n_p = probe_audio(p)
+        assert rate_p == arate, p
+        assert ch_p == audio.shape[0], p
+        assert n_p == audio.shape[1], p
