@@ -244,7 +244,8 @@ struct AtomObjectView {
           reinterpret_cast<const AtomPropertyBody*>(props + o);
       uint32_t step =
           atom_pad(sizeof(AtomPropertyBody) + pb->value.size);
-      if (pb->key == key && pb->value.size == want_size)
+      if (pb->key == key && pb->value.size == want_size &&
+          want_size <= props_size - o - sizeof(AtomPropertyBody))
         return props + o + sizeof(AtomPropertyBody);
       if (step == 0 || o + step <= o) break;  // corrupt: stop
       o += step;
@@ -255,23 +256,32 @@ struct AtomObjectView {
 
 // Call `fn(AtomObjectView)` for every object event in a control
 // sequence buffer.  Tolerates a null/short/foreign-typed buffer.
+// `max_size` caps how far the iterator will read: callers that know the
+// true buffer length (LV2UI port_event, wire receivers) MUST pass it, so
+// a forged `atom.size` larger than the delivered buffer cannot drive
+// reads past the allocation.  In-process LV2 atom ports, where the host
+// contract guarantees atom.size fits the port, may pass the port's
+// declared capacity as a defensive bound.
 template <typename F>
-inline void each_object(const void* port, const ProtUrids& u, F&& fn) {
-  if (!port || !u.ok) return;
+inline void each_object(const void* port, const ProtUrids& u, F&& fn,
+                        uint32_t max_size = 0xFFFFFFFFu) {
+  if (!port || !u.ok || max_size < sizeof(AtomSequence)) return;
   const AtomSequence* seq = static_cast<const AtomSequence*>(port);
   if (seq->atom.type != u.atom_Sequence) return;
   uint32_t body = seq->atom.size;  // unit+pad+events
   if (body < sizeof(AtomSequence) - sizeof(Atom)) return;
   const uint8_t* base = static_cast<const uint8_t*>(port);
   uint32_t off = sizeof(AtomSequence);
-  uint32_t end = sizeof(Atom) + body;
+  uint64_t end64 = static_cast<uint64_t>(sizeof(Atom)) + body;
+  if (end64 > max_size) end64 = max_size;  // clamp to real buffer
+  uint32_t end = static_cast<uint32_t>(end64);
   while (off + sizeof(AtomEvent) <= end) {
     const AtomEvent* ev = reinterpret_cast<const AtomEvent*>(base + off);
     uint32_t step = atom_pad(sizeof(AtomEvent) + ev->body.size);
     if (step == 0 || off + step < off) break;  // corrupt: stop
     if (ev->body.type == u.atom_Object &&
         ev->body.size >= sizeof(AtomObject) - sizeof(Atom) &&
-        off + sizeof(AtomEvent) + ev->body.size <= end) {
+        ev->body.size <= end - off - sizeof(AtomEvent)) {
       const AtomObject* obj = reinterpret_cast<const AtomObject*>(
           base + off + sizeof(int64_t));
       AtomObjectView view;

@@ -283,11 +283,23 @@ struct Dial {
   // returns true when the value changed (caller notifies)
   bool set_value(float v) {
     if (!sensitive) return false;
+    // Host control ports can carry anything (a DAW bug, a corrupt
+    // session file): NaN/inf would poison the state and a huge finite
+    // value would spin an iterative wrap for ~1e35 steps, so reject
+    // non-finite and wrap in O(1) with fmod instead of a loop.
+    if (!std::isfinite(v)) return false;
     if (fabsf(v - kDefault) < kStep) v = kDefault;  // detent snap
     v = roundf(v / kStep) * kStep;                  // quantize
     const float span = kMax - kMin;                 // threesixty wrap
-    while (v > kMax) v -= span;
-    while (v < kMin) v += span;
+    if (v > kMax || v < kMin) {
+      const bool from_above = v > kMax;
+      v = fmodf(v - kMin, span);
+      if (v < 0) v += span;
+      v += kMin;
+      // wrapping down from above lands on kMax, never on the
+      // equivalent kMin (matches the iterative definition)
+      if (v == kMin && from_above) v = kMax;
+    }
     if (v == value) return false;
     value = v;
     return true;
@@ -796,12 +808,12 @@ void port_event(LV2UI_Handle h, uint32_t port, uint32_t size,
       port == 1 && size >= sizeof(prt::Atom)) {
     const prt::Atom* a = static_cast<const prt::Atom*>(buffer);
     if (a->type == ui->urids.atom_Sequence) {
-      prt::each_object(buffer, ui->urids,
-                       [&](const prt::AtomObjectView& o) {
-                         ui->on_notify_object(o);
-                       });
+      prt::each_object(
+          buffer, ui->urids,
+          [&](const prt::AtomObjectView& o) { ui->on_notify_object(o); },
+          size);  // cap reads at the delivered buffer, not atom.size
     } else if (a->type == ui->urids.atom_Object &&
-               a->size >= 8 && size >= sizeof(prt::Atom) + a->size) {
+               a->size >= 8 && a->size <= size - sizeof(prt::Atom)) {
       const prt::AtomObject* obj =
           static_cast<const prt::AtomObject*>(buffer);
       prt::AtomObjectView view;

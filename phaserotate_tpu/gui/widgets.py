@@ -11,6 +11,7 @@ tests drive the same logic the GUI would.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, List, Optional
 
 __all__ = ["DialModel", "LinkGroup"]
@@ -38,6 +39,12 @@ class DialModel:
         """Set with 360-degree wraparound and detent snap."""
         if not self.sensitive:
             return
+        # Control-port values arrive from the host/wire and can be
+        # garbage: NaN/inf would raise inside round(), and a huge finite
+        # value would spin an iterative wrap, so reject non-finite and
+        # wrap in O(1) with fmod.
+        if not math.isfinite(v):
+            return
         # detent: raw values within one step of the default stick to it
         # (robtk_dial_set_detent_default, gui/phaserotate.c:944)
         if self.detent and abs(v - self.default) < self.step:
@@ -45,10 +52,16 @@ class DialModel:
         v = self._quantize(v)
         # threesixty: wrap past the ends instead of clamping
         span = self.maximum - self.minimum
-        while v > self.maximum:
-            v -= span
-        while v < self.minimum:
-            v += span
+        if v > self.maximum or v < self.minimum:
+            came_from_above = v > self.maximum
+            v = math.fmod(v - self.minimum, span)
+            if v < 0:
+                v += span
+            v += self.minimum
+            # wrapping down from above lands on `maximum`, never on the
+            # equivalent `minimum` (matches the iterative definition)
+            if v == self.minimum and came_from_above:
+                v = self.maximum
         if v != self.value:
             self.value = v
             if notify and self.on_change:

@@ -44,6 +44,25 @@ def test_dial_model_semantics():
     assert d.value == 0.0
 
 
+def test_dial_model_hostile_values():
+    """Garbage from a host control port must not hang, raise, or poison
+    the dial: NaN/inf are ignored, huge finite values wrap in O(1)."""
+    d = DialModel()
+    d.set_value(33.5)
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        d.set_value(bad)
+        assert d.value == 33.5  # ignored, state intact
+    d.set_value(1e18)  # would spin ~3e15 iterations with loop-wrap
+    assert -180.0 <= d.value <= 180.0
+    # fmod wrap matches the iterative definition on moderate values
+    d2 = DialModel()
+    for v, want in ((190.0, -170.0), (-190.0, 170.0), (540.0, 180.0),
+                    (900.0, 180.0), (-541.0, 179.0), (180.0, 180.0),
+                    (-180.0, -180.0), (361.0, 1.0)):
+        d2.set_value(v)
+        assert d2.value == want, (v, d2.value, want)
+
+
 def test_link_group_mirrors_and_freezes():
     writes = {0: [], 1: []}
     dials = [DialModel(on_change=lambda v, c=c: writes[c].append(v))

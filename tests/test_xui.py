@@ -548,3 +548,53 @@ def test_ui_resize_feature_reports_size(native_built):
     assert h
     assert got == [(WIN_W, 2 * ROW_H + LINK_ROW_H)]
     desc.cleanup(h)
+
+
+def test_port_event_fuzz_no_crash(native_built):
+    """Random garbage on the notify port must never crash the UI —
+    a malformed atom crashing an embedded LV2UI takes the DAW with it.
+    Runs in a subprocess so a segfault fails the test, not pytest."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import ctypes, os, sys
+        sys.path.insert(0, %r)
+        sys.path.insert(0, os.path.dirname(%r))  # repo root
+        os.environ["PHASEROTATE_TPU_XUI"] = "headless"
+        from test_xui import _XuiHost, ATOM_NS
+        import numpy as np
+        host = _XuiHost(%r, stereo=True)
+        rng = np.random.default_rng(0)
+        ev = host.urid.map(ATOM_NS + "eventTransfer")
+        seq_id = host.urid.map(ATOM_NS + "Sequence")
+        obj_id = host.urid.map(ATOM_NS + "Object")
+        import struct
+        for trial in range(400):
+            n = int(rng.integers(0, 96))
+            raw = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            if n >= 8 and trial %% 3 == 0:
+                # plausible header, garbage body: the dangerous case
+                typ = (seq_id, obj_id)[trial %% 2]
+                raw = struct.pack("<II", int(rng.integers(0, 2**16)),
+                                  typ) + raw[8:]
+            host.port_event(1, ev, raw)
+            host.port_event(3, 0, raw[:4] if n >= 4 else raw)
+        # deterministic hostile control values: non-finite must be
+        # ignored, huge finite must wrap in O(1) (not spin ~1e35 loop
+        # iterations), boundary wrap must stay on the iterative grid
+        for v in (float("nan"), float("inf"), float("-inf"),
+                  3.4e38, -3.4e38, 1e18, 540.0, -540.0):
+            host.port_event(3, 0, struct.pack("<f", v))
+            host.port_event(6, 0, struct.pack("<f", v))
+        host.idle()
+        host.close()
+        print("FUZZ-OK")
+    """) % (os.path.dirname(os.path.abspath(__file__)),
+            os.path.dirname(os.path.abspath(__file__)), native_built)
+    res = subprocess.run([_sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=120,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    assert res.returncode == 0, (res.stdout, res.stderr)
+    assert "FUZZ-OK" in res.stdout
