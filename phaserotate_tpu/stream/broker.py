@@ -206,7 +206,12 @@ class StreamBroker:
         if dev is None:
             if len(self._operand_cache) > 256:
                 self._operand_cache.clear()
-            dev = jnp.asarray(arr)
+            # .copy(): jax's CPU backend zero-copy-aliases numpy buffers
+            # it considers safely aligned, so a device array built from
+            # a REUSED staging buffer (self._targets) would silently
+            # change contents when the staging mutates for the next
+            # dispatch.  The snapshot is never written again.
+            dev = jnp.asarray(arr.copy())
             self._operand_cache[key] = dev
         return dev
 
@@ -246,8 +251,15 @@ class StreamBroker:
                     self._frames[slot] = frame
                     self._targets[slot] = degs
                     active[slot] = True
+                # frames.copy() is load-bearing, not defensive style:
+                # jit on the CPU backend zero-copy-aliases suitably
+                # aligned numpy args, and execution is ASYNC — passing
+                # the reused staging buffer directly let the next
+                # iteration's `self._frames[:] = 0.0` overwrite an
+                # in-flight dispatch's input (one corrupted frame then
+                # poisons that slot's carried OLA state for good).
                 self._state, y = _slot_step(
-                    self._state, self._frames,
+                    self._state, self._frames.copy(),
                     self._cached_operand(self._targets),
                     self._cached_operand(active),
                     self._cached_operand(reset), self.geom)
