@@ -21,7 +21,15 @@ import numpy as np
 
 from .wav import WavMetadata
 
-__all__ = ["available", "is_mp3", "read_mp3", "write_mp3"]
+__all__ = ["available", "is_mp3", "read_mp3", "write_mp3",
+           "Mp3FormatError"]
+
+
+class Mp3FormatError(ValueError):
+    """Malformed/undecodable MP3 input.  A ValueError subclass like
+    WavFormatError/FlacFormatError/OggFormatError: the io contract is
+    that corrupt INPUT surfaces as ValueError, while a missing system
+    codec stays RuntimeError (environment, not data)."""
 
 # mpg123.h constants
 _MPG123_OK = 0
@@ -109,16 +117,16 @@ def read_mp3(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
         # take effect on this libmpg123 (output stayed s16)
         mpg.mpg123_param(h, _MPG123_ADD_FLAGS, _MPG123_FORCE_FLOAT, 0.0)
         if mpg.mpg123_open(h, path.encode()) != _MPG123_OK:
-            raise RuntimeError(f"{path}: mpg123 cannot open")
+            raise Mp3FormatError(f"{path}: mpg123 cannot open")
         rate = ctypes.c_long(0)
         channels = ctypes.c_int(0)
         enc = ctypes.c_int(0)
         if mpg.mpg123_getformat(h, ctypes.byref(rate),
                                 ctypes.byref(channels),
                                 ctypes.byref(enc)) != _MPG123_OK:
-            raise RuntimeError(f"{path}: mpg123 cannot read format")
+            raise Mp3FormatError(f"{path}: mpg123 cannot read format")
         if enc.value != _MPG123_ENC_FLOAT_32:
-            raise RuntimeError(
+            raise Mp3FormatError(
                 f"{path}: mpg123 did not negotiate float output "
                 f"(got encoding {enc.value:#x})")
         buf = (ctypes.c_ubyte * (1 << 18))()
@@ -132,7 +140,7 @@ def read_mp3(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
             if rc == _MPG123_DONE:
                 break
             if rc not in (_MPG123_OK, _MPG123_NEW_FORMAT):
-                raise RuntimeError(f"{path}: mpg123 read error {rc}")
+                raise Mp3FormatError(f"{path}: mpg123 read error {rc}")
         flat = (np.concatenate(chunks) if chunks
                 else np.zeros(0, np.float32))
         ch = max(1, channels.value)

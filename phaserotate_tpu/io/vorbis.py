@@ -178,6 +178,11 @@ class _Bits:
         self.nbits -= 1
         return v
 
+    def remaining(self) -> int:
+        """Bits left in the packet — used to sanity-bound declared
+        element counts before allocating for them."""
+        return (len(self.data) - self.pos) * 8 + self.nbits
+
 
 def _float32_unpack(x: int) -> float:
     """Vorbis packed float: 21-bit mantissa, 10-bit biased exponent."""
@@ -199,6 +204,16 @@ class _Codebook:
         self.dims = bits.read(16)
         entries = bits.read(24)
         ordered = bits.read(1)
+        # A corrupt header can declare up to 2^24 entries; allocating
+        # and walking that many is a multi-minute stall on a small host
+        # (and entries*dims below can demand terabytes).  Non-ordered
+        # books spend >=1 bit per entry, so the packet length bounds the
+        # real count; ordered books are run-length coded, so cap them at
+        # a value far beyond anything an encoder emits.
+        if not ordered and entries > bits.remaining() + 8:
+            raise OggFormatError("codebook entries exceed packet size")
+        if ordered and entries > (1 << 22):
+            raise OggFormatError("implausible ordered codebook size")
         lengths = [0] * entries
         if not ordered:
             sparse = bits.read(1)
@@ -240,6 +255,8 @@ class _Codebook:
                 mult_count = entries * self.dims
             mults = np.array([bits.read(value_bits)
                               for _ in range(mult_count)], np.float64)
+            if entries * self.dims > (1 << 22):
+                raise OggFormatError("implausible VQ table size")
             vecs = np.zeros((entries, self.dims), np.float64)
             if lookup == 1:
                 idx = np.arange(entries)
@@ -782,7 +799,12 @@ def read_ogg(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     if len(packets) < 3:
         raise OggFormatError(f"{path}: missing Vorbis headers")
     meta = WavMetadata(container="OGG")
-    setup = _Setup(packets[0], packets[2])
+    try:
+        setup = _Setup(packets[0], packets[2])
+    except _EndOfPacket:
+        # truncated/corrupt headers must surface as the format error the
+        # io contract promises, not as an internal exception type
+        raise OggFormatError(f"{path}: truncated Vorbis header packet")
     _parse_comments(packets[1], meta)
 
     ch = setup.channels
@@ -810,10 +832,15 @@ def read_ogg(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
                 prev_flag = bits.read(1)
                 next_flag = bits.read(1)
             n2 = n // 2
+        except _EndOfPacket:
+            continue  # EOP before the mode/window header is complete:
+            # the packet is undecodable — drop it (nothing below is
+            # bound yet; falling through would use stale state)
 
-            floors: List[Optional[np.ndarray]] = [None] * ch
-            floor_posts: List[Optional[list]] = [None] * ch
-            no_residue = [False] * ch
+        floor_posts: List[Optional[list]] = [None] * ch
+        no_residue = [False] * ch
+        resid = [np.zeros(n2, np.float32) for _ in range(ch)]
+        try:
             for c in range(ch):
                 fl = setup.floors[
                     mapping.submap_floor[mapping.mux[c]]]
@@ -826,7 +853,6 @@ def read_ogg(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
                 if not (no_residue[mag] and no_residue[ang]):
                     no_residue[mag] = no_residue[ang] = False
 
-            resid = [np.zeros(n2, np.float32) for _ in range(ch)]
             for s in range(mapping.submaps):
                 sub_ch = [c for c in range(ch) if mapping.mux[c] == s]
                 res = setup.residues[mapping.submap_residue[s]]
@@ -843,7 +869,8 @@ def read_ogg(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
                     dnd = [no_residue[c] for c in sub_ch]
                     res.decode(bits, setup.codebooks, vecs, dnd)
         except _EndOfPacket:
-            pass  # spec: end-of-packet during audio decode is normal
+            pass  # spec: EOP during floor/residue decode is normal —
+            # synthesize from whatever was decoded so far
 
         # square polar coupling inverse (spec 4.3.5)
         for mag, ang in reversed(mapping.coupling):
