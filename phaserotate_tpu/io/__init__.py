@@ -1,7 +1,8 @@
-"""Audio file I/O: WAV, AIFF, FLAC, W64, RF64, CAF read/write with
-metadata passthrough."""
+"""Audio file I/O: WAV, AIFF, FLAC, W64, RF64, CAF, AU, Ogg Vorbis,
+Ogg Opus, MP3 read/write with metadata passthrough."""
 
 from .aiff import read_aiff, write_aiff
+from .au import read_au, write_au
 from .containers import (
     read_caf,
     read_rf64,
@@ -12,7 +13,7 @@ from .containers import (
 )
 from .audio import read_audio, read_audio_pcm16, write_audio
 from .flac import FlacFormatError, read_flac, write_flac
-from .mp3 import read_mp3, write_mp3
+from .mp3 import Mp3FormatError, read_mp3, write_mp3
 from .opus import read_opus, write_opus
 from .vorbis import OggFormatError, read_ogg
 from .vorbisenc import write_ogg
@@ -20,10 +21,12 @@ from .wav import WavFormatError, WavMetadata, read_wav, write_wav
 
 __all__ = [
     "FlacFormatError",
+    "Mp3FormatError",
     "OggFormatError",
     "WavFormatError",
     "WavMetadata",
     "read_aiff",
+    "read_au",
     "read_audio",
     "read_audio_pcm16",
     "read_caf",
@@ -35,6 +38,7 @@ __all__ = [
     "read_w64",
     "read_wav",
     "write_aiff",
+    "write_au",
     "write_audio",
     "write_caf",
     "write_flac",

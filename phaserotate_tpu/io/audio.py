@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from .aiff import is_aiff, read_aiff, write_aiff
+from .au import is_au, read_au, write_au
 from .containers import (
     is_caf,
     is_rf64,
@@ -65,6 +66,8 @@ def read_audio(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
         return read_rf64(path)
     if is_caf(head):
         return read_caf(path)
+    if is_au(head):
+        return read_au(path)
     if is_mp3(head):
         return read_mp3(path)
     return read_wav(path)
@@ -153,6 +156,22 @@ def probe_audio(path: str) -> Tuple[int, int, int]:
             (rate,) = struct.unpack_from("<I", first, i + 12)
             if rate and channels:
                 return rate, channels, granule
+    elif is_au(head):
+        import os
+
+        from .au import _ENCODINGS
+
+        with open(path, "rb") as f:
+            hdr = f.read(24)
+        if len(hdr) == 24:
+            offset, size, enc, rate, channels = struct.unpack_from(
+                ">IIIII", hdr, 4)
+            if enc in _ENCODINGS and channels and rate:
+                bps = _ENCODINGS[enc][0]
+                avail = max(0, os.path.getsize(path) - offset)
+                if size != 0xFFFFFFFF:
+                    avail = min(avail, size)
+                return rate, channels, avail // (bps * channels)
     audio, rate, _meta = read_audio_pcm16(path)
     return rate, audio.shape[0], audio.shape[1]
 
@@ -183,6 +202,8 @@ def _sniff(path: str) -> str:
         return "rf64"
     if is_caf(head):
         return "caf"
+    if is_au(head):
+        return "au"
     return "wav"
 
 
@@ -202,7 +223,8 @@ def write_audio(
     lower = path.lower()
     known = lower.endswith(
         (".wav",) + _AIFF_EXT + (".flac", ".ogg", ".oga", ".mp3",
-                                 ".opus", ".w64", ".rf64", ".caf"))
+                                 ".opus", ".w64", ".rf64", ".caf",
+                                 ".au", ".snd"))
     inherited = "" if known or like is None else _sniff(like)
     if lower.endswith(_AIFF_EXT) or inherited == "aiff":
         write_aiff(path, audio, rate, meta)
@@ -233,5 +255,7 @@ def write_audio(
         write_rf64(path, audio, rate, meta)
     elif lower.endswith(".caf") or inherited == "caf":
         write_caf(path, audio, rate, meta)
+    elif lower.endswith((".au", ".snd")) or inherited == "au":
+        write_au(path, audio, rate, meta)
     else:
         write_wav(path, audio, rate, meta)

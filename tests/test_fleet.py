@@ -141,7 +141,7 @@ def test_probe_audio_headers_match_decode(tmp_path, rng):
     x = (0.4 * np.sin(2 * np.pi * 220 *
                       np.arange(n) / rate)).astype(np.float32)
     files = []
-    for name in ("p.wav", "p.flac"):
+    for name in ("p.wav", "p.flac", "p.au"):
         p = str(tmp_path / name)
         write_audio(p, x[None], rate)
         files.append(p)
