@@ -24,7 +24,7 @@ import numpy as np
 
 from .wav import WavFormatError, WavMetadata
 
-__all__ = ["read_au", "write_au", "is_au"]
+__all__ = ["read_au", "read_au_pcm16", "write_au", "is_au"]
 
 _MAGIC = b".snd"
 
@@ -99,6 +99,11 @@ def _alaw_encode(x: np.ndarray) -> np.ndarray:
 
 def read_au(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     """Read a Sun AU file -> ((channels, n) float32, rate, meta)."""
+    audio, rate, meta, _enc = _read_au_impl(path, want_pcm16=False)
+    return audio, rate, meta
+
+
+def _read_au_impl(path: str, want_pcm16: bool):
     with open(path, "rb") as f:
         blob = f.read()
     if len(blob) < 24 or blob[:4] != _MAGIC:
@@ -124,6 +129,13 @@ def read_au(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
         avail = min(avail, size)
     n_total = avail // (bps * channels) * channels
     raw = blob[offset : offset + n_total * bps]
+    if want_pcm16:
+        if kind != "pcm16":
+            return None, int(rate), meta, enc
+        flat16 = np.frombuffer(raw, ">i2").astype(np.int16)
+        n = len(flat16) // channels
+        audio16 = flat16[: n * channels].reshape(n, channels).T.copy()
+        return audio16, int(rate), meta, enc
     if kind == "ulaw":
         flat = _ulaw_decode(np.frombuffer(raw, np.uint8))
     elif kind == "alaw":
@@ -147,7 +159,23 @@ def read_au(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
         flat = np.frombuffer(raw, ">f8").astype(np.float32)
     n = len(flat) // channels
     audio = flat[: n * channels].reshape(n, channels).T.copy()
-    return audio, int(rate), meta
+    return audio, int(rate), meta, enc
+
+
+def read_au_pcm16(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
+    """Read a 16-bit PCM AU without float conversion.
+
+    Returns ``((channels, n) int16, rate, metadata)`` — the raw-PCM
+    fleet ingest path (device-side dequantize,
+    search.sweep_peaks_aux_pcm16); AU stores big-endian, so this is a
+    header parse plus one byteswap.  Raises WavFormatError for any
+    other encoding; callers fall back to :func:`read_au` + quantize.
+    """
+    audio, rate, meta, enc = _read_au_impl(path, want_pcm16=True)
+    if enc != 3:
+        raise WavFormatError(f"{path}: not 16-bit PCM AU (encoding "
+                             f"{enc})")
+    return audio, rate, meta
 
 
 def write_au(path: str, audio: np.ndarray, rate: int,

@@ -44,7 +44,7 @@ _AIFF_EXT = (".aiff", ".aif", ".aifc")
 
 def read_audio(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     """Read WAV, AIFF, FLAC, Ogg Vorbis, Ogg Opus, MP3, W64, RF64,
-    or CAF (sniffed by magic) -> ((ch, n) f32, rate, meta)."""
+    CAF, or AU (sniffed by magic) -> ((ch, n) f32, rate, meta)."""
     with open(path, "rb") as f:
         head = f.read(16)
     if is_aiff(head):
@@ -89,6 +89,10 @@ def read_audio_pcm16(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
             return read_flac_pcm16(path)
         if head[:4] == b"RIFF":
             return read_wav_pcm16(path)
+        if is_au(head):
+            from .au import read_au_pcm16
+
+            return read_au_pcm16(path)
     except (WavFormatError, FlacFormatError):
         pass  # not 16-bit PCM (or no native decoder): quantize below
     audio, rate, meta = read_audio(path)

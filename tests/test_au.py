@@ -94,6 +94,28 @@ def test_annotation_and_dispatch(tmp_path):
         assert np.abs(z - x).max() <= 1 / 32768 + 1e-9
 
 
+def test_pcm16_fleet_fast_path(tmp_path):
+    """read_audio_pcm16 takes the no-float byteswap path for 16-bit AU
+    and matches quantization of the float reader exactly; other
+    encodings fall back to quantize."""
+    from phaserotate_tpu.io import read_audio_pcm16
+    from phaserotate_tpu.io.au import read_au_pcm16
+
+    x = _tone()
+    p = str(tmp_path / "t.au")
+    write_au(p, x, RATE)
+    q, rate, _ = read_audio_pcm16(p)
+    assert q.dtype == np.int16 and rate == RATE
+    y = read_au(p)[0]
+    ref = np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
+    assert np.array_equal(q, ref)
+    write_au(p, x, RATE, encoding="f32")
+    with pytest.raises(WavFormatError):
+        read_au_pcm16(p)
+    q2, _, _ = read_audio_pcm16(p)  # falls back to quantize
+    assert q2.dtype == np.int16 and q2.shape == x.shape
+
+
 def test_unknown_size_sentinel_reads_to_eof(tmp_path):
     """Streams written with data size 0xFFFFFFFF (unknown, the format's
     pipe convention) decode everything after the header."""
