@@ -65,12 +65,24 @@ bool wav_read(const char* path, Wav* w) {
     fclose(f);
     return false;
   }
+  // a chunk size can claim up to 4 GB-1; bound every allocation by
+  // what the file can actually deliver so a corrupt header errors
+  // instead of OOMing (std::bad_alloc would abort the process)
+  fseek(f, 0, SEEK_END);
+  long file_end = ftell(f);
+  fseek(f, 12, SEEK_SET);
   std::vector<uint8_t> data;
   while (true) {
     uint8_t ch[8];
     if (!read_all(f, ch, 8)) break;
     uint32_t size;
     memcpy(&size, ch + 4, 4);
+    long here = ftell(f);
+    if (here < 0 || (long)size > file_end - here) {
+      fprintf(stderr, "%s: chunk overruns file\n", path);
+      fclose(f);
+      return false;
+    }
     if (!memcmp(ch, "fmt ", 4)) {
       std::vector<uint8_t> fmt(size);
       if (!read_all(f, fmt.data(), size) || size < 16) break;

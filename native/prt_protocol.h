@@ -32,8 +32,7 @@ inline long timeout_ms() {
   return v < 0 ? 0 : v;
 }
 
-inline void set_socket_deadline(int fd) {
-  long ms = timeout_ms();
+inline void set_socket_deadline_ms(int fd, long ms) {
   if (ms <= 0) return;
   timeval tv;
   tv.tv_sec = ms / 1000;
@@ -41,6 +40,24 @@ inline void set_socket_deadline(int fd) {
   // SO_SNDTIMEO also bounds connect() on Linux.
   setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof tv);
   setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tv, sizeof tv);
+}
+
+inline void set_socket_deadline(int fd) {
+  set_socket_deadline_ms(fd, timeout_ms());
+}
+
+// INIT_OK can legitimately take minutes on a cold accelerator (the
+// daemon compiles the engine for this session's geometry on first
+// use), unlike streaming replies which arrive within a block period —
+// so the handshake gets its own, much longer deadline.
+inline long handshake_timeout_ms() {
+  const char* e = getenv("PHASEROTATE_TPU_HANDSHAKE_TIMEOUT_MS");
+  if (!e || !*e) {
+    long base = timeout_ms();
+    return base <= 0 ? 0 : (base < 300000 ? 300000 : base);
+  }
+  long v = atol(e);
+  return v < 0 ? 0 : v;
 }
 
 constexpr uint32_t kMagic = 0x50525431;  // "PRT1"
@@ -88,9 +105,17 @@ struct Conn {
     return send_exact(hdr, 8) && (len == 0 || send_exact(payload, len));
   }
 
+  // Largest legitimate payload is a PROC_OK block (max block size x
+  // max channels x f32 ~= 1 MB); 64 MB leaves generous headroom while
+  // keeping a desynced/corrupt length field (up to 4 GB-1) from
+  // driving a giant allocation inside the DAW process — the daemon
+  // applies the same class of cap on its side (bridge.py _recv_msg).
+  static constexpr uint32_t kMaxPayload = 64u << 20;
+
   bool recv_msg(uint32_t* type, std::vector<uint8_t>* payload) {
     uint32_t hdr[2];
     if (!recv_exact(hdr, 8)) return false;
+    if (hdr[1] > kMaxPayload) return false;  // stream is garbage: bail
     *type = hdr[0];
     payload->resize(hdr[1]);
     return hdr[1] == 0 || recv_exact(payload->data(), hdr[1]);
@@ -141,9 +166,13 @@ struct Conn {
     uint32_t init[2] = {rate, channels};
     uint32_t type;
     std::vector<uint8_t> reply;
-    if (!send_msg(kInit, init, 8) ||
-        !recv_reply(&type, &reply) || type != kInitOk ||
-        reply.size() < 12) {
+    // the INIT_OK wait alone gets the long (compile-tolerant) deadline
+    set_socket_deadline_ms(fd, handshake_timeout_ms());
+    bool ok = send_msg(kInit, init, 8) &&
+              recv_reply(&type, &reply) && type == kInitOk &&
+              reply.size() >= 12;
+    set_socket_deadline(fd);  // streaming replies: tight deadline again
+    if (!ok) {
       close_fd();
       return false;
     }

@@ -1079,3 +1079,24 @@ def test_lv2_atom_ports_inert_without_urid_map(native_built, daemon,
     assert y.shape == (1, 256)
     assert host.latency[0] == 1792
     host.close()
+
+
+def test_native_bridge_rejects_corrupt_chunk_sizes(native_built,
+                                                   tmp_path):
+    """A WAV whose data chunk claims ~4 GB must error fast — not
+    attempt the allocation (std::bad_alloc would abort, and on this
+    host the first-touch cost alone would hang the client)."""
+    import struct
+
+    p = tmp_path / "hostile.wav"
+    body = b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+    body += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 48000,
+                                  96000, 2, 16)
+    body += b"data" + struct.pack("<I", 0xFFFFFFF0) + b"\x00" * 64
+    p.write_bytes(body)
+    res = subprocess.run(
+        [os.path.join(native_built, "prt_bridge"), "-a", "0",
+         str(p), str(tmp_path / "out.wav")],
+        capture_output=True, text=True, timeout=30)
+    assert res.returncode != 0
+    assert "chunk overruns file" in res.stderr
