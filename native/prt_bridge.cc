@@ -293,7 +293,8 @@ int main(int argc, char** argv) {
 
   prt::Conn conn;
   uint32_t latency = 0;
-  if (!conn.open(sock_path.c_str(), in.rate, ch, &latency)) {
+  if (!conn.open(sock_path.c_str(), in.rate, ch, &latency,
+                 /*wait_for_compile=*/true)) {
     fprintf(stderr, "cannot connect to engine at %s: %s\n"
             "start it with: python -m phaserotate_tpu.bridge --socket %s\n",
             sock_path.c_str(), strerror(errno), sock_path.c_str());

@@ -160,18 +160,26 @@ struct Conn {
 
   // Connect + handshake (magic, INIT, INIT_OK).  Returns false (fd=-1)
   // on any failure.  `latency_out` receives the engine latency.
+  //
+  // `wait_for_compile` selects the INIT_OK deadline: batch/offline
+  // clients (prt_bridge) pass true and ride out a cold accelerator's
+  // minutes-long engine compile; the LV2 shim passes false because
+  // try_connect() runs on the AUDIO THREAD — it must fail fast into
+  // bypass and retry on its run() cadence, by which time the daemon
+  // has finished compiling and INIT_OK is immediate.
   bool open(const char* path, uint32_t rate, uint32_t channels,
-            uint32_t* latency_out) {
+            uint32_t* latency_out, bool wait_for_compile = false) {
     if (!open_raw(path)) return false;
     uint32_t init[2] = {rate, channels};
     uint32_t type;
     std::vector<uint8_t> reply;
-    // the INIT_OK wait alone gets the long (compile-tolerant) deadline
-    set_socket_deadline_ms(fd, handshake_timeout_ms());
+    if (wait_for_compile)
+      set_socket_deadline_ms(fd, handshake_timeout_ms());
     bool ok = send_msg(kInit, init, 8) &&
               recv_reply(&type, &reply) && type == kInitOk &&
               reply.size() >= 12;
-    set_socket_deadline(fd);  // streaming replies: tight deadline again
+    if (wait_for_compile)
+      set_socket_deadline(fd);  // streaming: tight deadline again
     if (!ok) {
       close_fd();
       return false;
