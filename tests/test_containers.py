@@ -177,8 +177,10 @@ def test_fuzzed_containers_never_escape_format_error(tmp_path):
     """Byte flips + truncations in W64/RF64/CAF must fail as
     WavFormatError or decode, never raw struct/index errors."""
     rng = np.random.default_rng(13)
+    from phaserotate_tpu.io import write_aiff
+
     for writer, ext in ((write_w64, "w64"), (write_rf64, "rf64"),
-                        (write_caf, "caf")):
+                        (write_caf, "caf"), (write_aiff, "aiff")):
         p = str(tmp_path / f"t.{ext}")
         writer(p, _tone(n=3000), 48000)
         good = np.frombuffer(open(p, "rb").read(), np.uint8)
