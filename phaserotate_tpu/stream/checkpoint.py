@@ -45,7 +45,9 @@ def load_stream_state(path: str):
     """Load a stream state; returns (state, geom_or_None, host_dict)."""
     import jax.numpy as jnp
 
-    with np.load(path) as z:
+    # allow_pickle=False is numpy's default but stated explicitly: a
+    # checkpoint is untrusted input and must never deserialize objects
+    with np.load(path, allow_pickle=False) as z:
         state = StreamState(
             **{f: jnp.asarray(z[f]) for f in _FIELDS})
         geom = None
