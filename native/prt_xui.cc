@@ -288,9 +288,11 @@ struct Dial {
     // value would spin an iterative wrap for ~1e35 steps, so reject
     // non-finite and wrap in O(1) with fmod instead of a loop.
     if (!std::isfinite(v)) return false;
-    if (fabsf(v - kDefault) < kStep) v = kDefault;  // detent snap
-    v = roundf(v / kStep) * kStep;                  // quantize
-    const float span = kMax - kMin;                 // threesixty wrap
+    // wrap FIRST: fmodf is exact, so a huge finite value (3.4e38)
+    // reduces safely, whereas quantizing first overflows v/kStep to
+    // inf and the wrap then yields NaN.  Wrap and quantize commute on
+    // the value grid (the span is a multiple of the step).
+    const float span = kMax - kMin;  // threesixty wrap
     if (v > kMax || v < kMin) {
       const bool from_above = v > kMax;
       v = fmodf(v - kMin, span);
@@ -300,6 +302,8 @@ struct Dial {
       // equivalent kMin (matches the iterative definition)
       if (v == kMin && from_above) v = kMax;
     }
+    if (fabsf(v - kDefault) < kStep) v = kDefault;  // detent snap
+    v = roundf(v / kStep) * kStep;                  // quantize
     if (v == value) return false;
     value = v;
     return true;

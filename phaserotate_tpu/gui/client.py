@@ -107,6 +107,9 @@ class UIClient:
 
     def set_scale(self, scale: float) -> None:
         """Scale change persistence (gui/phaserotate.c:1080-1097)."""
+        scale = float(scale)
+        if not np.isfinite(scale):
+            return  # np.clip passes NaN through; don't poison ui_scale
         self.ui_scale = float(np.clip(scale, 1.0, 2.0))
         self._control_queue().append(
             StateMsg(uiscale=self.ui_scale, link=self.link.active))

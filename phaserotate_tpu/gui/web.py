@@ -260,6 +260,11 @@ class WebUI:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if not 0 <= n <= 65536:
+                        # control messages are tiny; a hostile
+                        # Content-Length must not drive a huge read
+                        self._send(400, b'{"error": "body too large"}')
+                        return
                     msg = json.loads(self.rfile.read(n) or b"{}")
                     surf = registry()[str(msg["session"])]
                     action = msg["action"]

@@ -45,12 +45,11 @@ class DialModel:
         # wrap in O(1) with fmod.
         if not math.isfinite(v):
             return
-        # detent: raw values within one step of the default stick to it
-        # (robtk_dial_set_detent_default, gui/phaserotate.c:944)
-        if self.detent and abs(v - self.default) < self.step:
-            v = self.default
-        v = self._quantize(v)
-        # threesixty: wrap past the ends instead of clamping
+        # threesixty wrap FIRST: fmod is exact, so huge-but-finite
+        # values (1e308) reduce safely, whereas quantizing first
+        # overflows round().  The wrap shifts by exact multiples of the
+        # span (itself a multiple of the step), so wrap and quantize
+        # commute on the value grid.
         span = self.maximum - self.minimum
         if v > self.maximum or v < self.minimum:
             came_from_above = v > self.maximum
@@ -62,6 +61,11 @@ class DialModel:
             # equivalent `minimum` (matches the iterative definition)
             if v == self.minimum and came_from_above:
                 v = self.maximum
+        # detent: raw values within one step of the default stick to it
+        # (robtk_dial_set_detent_default, gui/phaserotate.c:944)
+        if self.detent and abs(v - self.default) < self.step:
+            v = self.default
+        v = self._quantize(v)
         if v != self.value:
             self.value = v
             if notify and self.on_change:

@@ -420,3 +420,61 @@ def test_hostapp_web_flag_end_to_end(tmp_path, rng):
         assert proc.returncode == 0, err
     assert re.search(r"web UI: http://127\.0\.0\.1:\d+/", err)
     assert (tmp_path / "out.wav").exists()
+
+
+def test_control_endpoint_hostile_inputs(webhost):
+    """The /control endpoint is an HTTP surface: hostile JSON must get
+    4xx (or be safely ignored), never crash the server thread, hang,
+    or poison the dial/scale state."""
+    import urllib.error
+
+    host, ui = webhost
+
+    def post_raw(body: bytes, headers=None):
+        req = urllib.request.Request(ui.url + "control", data=body,
+                                     method="POST",
+                                     headers=headers or {})
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    # malformed/hostile messages -> 400, server stays up
+    bad = [
+        b"not json at all",
+        b"{}",
+        b'{"action": "dial"}',
+        b'{"action": "nope", "session": "0"}',
+        b'{"action": "dial", "session": "missing", "channel": 0, '
+        b'"value": 1}',
+        b'{"action": "dial", "session": "0", "channel": 99, "value": 1}',
+        b'{"action": "dial", "session": "0", "channel": "x", "value": 1}',
+        b'{"action": "scroll", "session": "0", "channel": 0, '
+        b'"steps": "y"}',
+        b'{"action": "scale", "session": "0", "value": "z"}',
+    ]
+    for body in bad:
+        assert post_raw(body) == 400, body
+
+    # hostile but parseable values: ignored or wrapped, state stays sane
+    _post(ui.url + "control", {"action": "dial", "session": "0",
+                               "channel": 0, "value": 35.0})
+    for v in ("NaN", "Infinity", "-Infinity", "1e308"):
+        code = post_raw(
+            f'{{"action": "dial", "session": "0", "channel": 0, '
+            f'"value": {v}}}'.encode())
+        assert code == 200
+    s = json.loads(_get(ui.url + "state"))["sessions"]["0"]
+    assert -180.0 <= s["angles"][0] <= 180.0
+    for v in ("NaN", "1e308"):
+        post_raw(f'{{"action": "scale", "session": "0", '
+                 f'"value": {v}}}'.encode())
+    assert 1.0 <= host.plugin.ui_scale <= 2.0
+
+    # hostile Content-Length must be rejected without a giant read
+    assert post_raw(b'{"action": "reset", "session": "0"}',
+                    {"Content-Length": str(1 << 31)}) == 400
+    # server still serves after everything above
+    assert _post(ui.url + "control",
+                 {"action": "reset", "session": "0"})["ok"] is True
