@@ -112,6 +112,13 @@ class StreamBroker:
         # per-slot in-flight outputs: deque of (device_batch, row)
         self._pipes: List[collections.deque] = [
             collections.deque() for _ in range(capacity)]
+        # per-slot generation, bumped on open/reset/close: a dispatch
+        # snapshot carries the generation it was taken under, so an
+        # in-flight dispatch for a since-closed (possibly reopened)
+        # slot cannot deposit a stale output into the NEW session's
+        # pipe — without this, close+reopen during the device step
+        # shifts the next session's whole stream by one frame
+        self._slot_gen = [0] * capacity
         self._zeros = np.zeros((channels, geom.parsiz), np.float32)
         # reusable staging (first-touch cost paid once)
         self._frames = np.zeros((capacity, channels, geom.parsiz),
@@ -140,6 +147,7 @@ class StreamBroker:
             slot = self._free.pop()
             self._reset_pending[slot] = True
             self._pipes[slot].clear()
+            self._slot_gen[slot] += 1
             return slot
 
     def close(self, slot: int) -> None:
@@ -150,6 +158,7 @@ class StreamBroker:
                 box[0] = self._zeros
                 done.set()
             self._pipes[slot].clear()
+            self._slot_gen[slot] += 1
             if slot not in self._free:
                 self._free.append(slot)
 
@@ -160,6 +169,7 @@ class StreamBroker:
         with self._mu:
             self._reset_pending[slot] = True
             self._pipes[slot].clear()
+            self._slot_gen[slot] += 1
 
     def in_use(self) -> int:
         with self._mu:
@@ -240,6 +250,7 @@ class StreamBroker:
                             break
                 batch = self._pending
                 self._pending = {}
+                gens = {slot: self._slot_gen[slot] for slot in batch}
                 reset = self._reset_pending.copy()
                 self._reset_pending[:] = False
                 self._cv.notify_all()
@@ -268,6 +279,13 @@ class StreamBroker:
                 self.dispatches += 1
                 self.frames_served += len(batch)
                 for slot, (_f, _d, (done, box)) in batch.items():
+                    if self._slot_gen[slot] != gens[slot]:
+                        # slot closed/reset (maybe reopened) while this
+                        # dispatch was in flight: its output belongs to
+                        # the dead session — do not touch the pipe
+                        box[0] = self._zeros
+                        done.set()
+                        continue
                     pipe = self._pipes[slot]
                     pipe.append((y, slot))
                     if len(pipe) > self.depth:

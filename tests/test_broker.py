@@ -243,3 +243,53 @@ def test_daemon_batch_sessions_end_to_end(tmp_path, rng):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_close_reopen_during_inflight_dispatch_no_stale_output(
+        monkeypatch, rng):
+    """A slot closed and reopened while its dispatch is still on the
+    device must not deposit the dead session's output into the new
+    session's pipe (that would shift the new stream by one frame).
+    Deterministic: the step is slowed and the close/reopen happens
+    inside the in-flight window."""
+    import time
+
+    from phaserotate_tpu.stream import broker as broker_mod
+
+    real_step = broker_mod._slot_step
+    gate = threading.Event()
+
+    def slow_step(*args, **kwargs):
+        gate.set()  # dispatch entered the device step
+        time.sleep(0.15)
+        return real_step(*args, **kwargs)
+
+    monkeypatch.setattr(broker_mod, "_slot_step", slow_step)
+    broker = StreamBroker(GEOM, 1, capacity=1, depth=1)
+    parsiz = GEOM.parsiz
+    xa = rng.standard_normal((1, parsiz)).astype(np.float32)
+    degs = np.array([10.0], np.float32)
+
+    slot_a = broker.open()
+    t = threading.Thread(
+        target=lambda: broker.submit(slot_a, xa, degs))
+    t.start()
+    assert gate.wait(5.0)  # A's frame is now mid-flight on the device
+    broker.close(slot_a)
+    slot_b = broker.open()  # capacity 1: B reuses A's slot index
+    assert slot_b == slot_a
+    t.join()
+
+    # B's stream must equal a solo run from a fresh broker — with the
+    # stale A output in the pipe, B's outputs would be shifted by one
+    monkeypatch.setattr(broker_mod, "_slot_step", real_step)
+    n_frames = 4
+    xb = [rng.standard_normal((1, parsiz)).astype(np.float32)
+          for _ in range(n_frames)]
+    got = [broker.submit(slot_b, f, degs) for f in xb]
+
+    ref_broker = StreamBroker(GEOM, 1, capacity=1, depth=1)
+    k = ref_broker.open()
+    want = [ref_broker.submit(k, f, degs) for f in xb]
+    for j in range(n_frames):
+        np.testing.assert_array_equal(got[j], want[j])
