@@ -293,3 +293,72 @@ def test_close_reopen_during_inflight_dispatch_no_stale_output(
     want = [ref_broker.submit(k, f, degs) for f in xb]
     for j in range(n_frames):
         np.testing.assert_array_equal(got[j], want[j])
+
+
+def test_daemon_batch_sessions_survive_churn(tmp_path, rng):
+    """Sessions connecting/disconnecting (reusing broker slots) while
+    another session streams: the steady session's output stays
+    bit-exact and the churned slots never leak (the in-flight
+    close/reopen race regression, daemon-level)."""
+    import os
+    import subprocess
+    import sys
+
+    from phaserotate_tpu.bridge import BridgeClient
+
+    sock = str(tmp_path / "engine.sock")
+    r, w = os.pipe()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phaserotate_tpu.bridge", "--socket",
+         sock, "--ready-fd", str(w), "--pipeline", "2",
+         "--batch-sessions", "2"],
+        pass_fds=(w,), stderr=subprocess.DEVNULL)
+    os.close(w)
+    try:
+        assert os.read(r, 1) == b"R"
+        os.close(r)
+        parsiz = GEOM.parsiz
+        n_blocks = 10
+        x = rng.standard_normal((1, parsiz)).astype(np.float32)
+        out = []
+        stop = threading.Event()
+        errs = []
+
+        def churner():
+            # open/stream-one-block/close in a loop: each reuses the
+            # broker slot the previous one released, overlapping the
+            # steady session's in-flight dispatches
+            try:
+                while not stop.is_set():
+                    cl = BridgeClient(sock, RATE, 1)
+                    cl.process(x, -20.0)
+                    cl.close()
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        th = threading.Thread(target=churner)
+        th.start()
+        try:
+            cl = BridgeClient(sock, RATE, 1)
+            for _ in range(n_blocks):
+                out.append(cl.process(x, 30.0))
+            cl.close()
+        finally:
+            stop.set()
+            th.join(timeout=30)
+        assert not errs
+        rot = StreamingRotator(rate=RATE, channels=1, pipeline_depth=2)
+        want = [rot.process(x, 30.0) for _ in range(n_blocks)]
+        # tolerance, not bit-equality: under churn the session may land
+        # on the K-slot broker program or the dedicated K=1 engine
+        # depending on timing, and the two compiled programs can round
+        # sin/cos of the angle ramp 1 ULP apart at some inputs.  The
+        # corruption this test hunts (a stale frame deposited by a
+        # closed session's in-flight dispatch => the stream shifts a
+        # whole frame) is ~1e0, seven orders above the bar.
+        np.testing.assert_allclose(np.concatenate(out, axis=1),
+                                   np.concatenate(want, axis=1),
+                                   atol=1e-5)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
