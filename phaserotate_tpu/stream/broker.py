@@ -186,6 +186,11 @@ class StreamBroker:
         box: list = [None]
         self._last_seen[slot] = time.perf_counter()
         with self._mu:
+            if slot in self._free:
+                # a released slot may already belong to the NEXT
+                # session: failing loudly here beats silently feeding
+                # frames into someone else's stream
+                raise RuntimeError(f"submit to unopened slot {slot}")
             if slot in self._pending:
                 # a second frame before the first dispatched: wait our
                 # turn (keeps per-slot ordering without queue growth)

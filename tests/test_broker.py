@@ -362,3 +362,18 @@ def test_daemon_batch_sessions_survive_churn(tmp_path, rng):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_submit_to_unopened_slot_raises():
+    """Submitting to a never-opened or already-closed slot must fail
+    loudly — the slot may already belong to another session."""
+    broker = StreamBroker(GEOM, 1, capacity=2, depth=1)
+    x = np.zeros((1, GEOM.parsiz), np.float32)
+    degs = np.zeros(1, np.float32)
+    with pytest.raises(RuntimeError):
+        broker.submit(0, x, degs)  # never opened
+    k = broker.open()
+    broker.submit(k, x, degs)
+    broker.close(k)
+    with pytest.raises(RuntimeError):
+        broker.submit(k, x, degs)  # closed
