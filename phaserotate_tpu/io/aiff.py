@@ -22,7 +22,7 @@ import numpy as np
 
 from .wav import WavFormatError, WavMetadata
 
-__all__ = ["read_aiff", "write_aiff", "is_aiff"]
+__all__ = ["read_aiff", "read_aiff_pcm16", "write_aiff", "is_aiff"]
 
 # AIFF text chunk ids <-> the WAV INFO ids the rest of the stack uses
 _TEXT_MAP = {b"NAME": b"INAM", b"AUTH": b"IART", b"ANNO": b"ICMT",
@@ -62,12 +62,10 @@ def is_aiff(blob: bytes) -> bool:
             and blob[8:12] in (b"AIFF", b"AIFC"))
 
 
-def read_aiff(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
-    """Read an AIFF/AIFF-C file -> ((channels, n) float32, rate, meta).
-
-    Every malformation raises :class:`WavFormatError` (never a bare
-    struct/ValueError), so callers handle WAV and AIFF identically.
-    """
+def _parse_aiff(path: str):
+    """FORM walk shared by the float and raw-PCM16 readers: returns
+    ``(channels, frames, bits, rate, compression, ssnd, meta)``.  Every
+    malformation raises :class:`WavFormatError`."""
     with open(path, "rb") as f:
         blob = f.read()
     if not is_aiff(blob):
@@ -115,6 +113,43 @@ def read_aiff(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     if channels < 1 or not math.isfinite(rate) or not (
             1.0 <= rate < 2**31):
         raise WavFormatError(f"{path}: bad COMM ({channels} ch @ {rate})")
+    return channels, frames, bits, rate, compression, ssnd, meta
+
+
+def read_aiff_pcm16(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
+    """Read a 16-bit PCM AIFF/AIFF-C without float conversion.
+
+    Returns ``((channels, n) int16, rate, metadata)`` — the raw-PCM
+    fleet ingest path, like read_wav_pcm16/read_au_pcm16: a header
+    parse plus one byteswap (``NONE`` big-endian) or a plain view
+    (``sowt``).  Raises WavFormatError for any other encoding; callers
+    fall back to :func:`read_aiff` + quantize.
+    """
+    channels, frames, bits, rate, compression, ssnd, meta = \
+        _parse_aiff(path)
+    if bits != 16 or compression not in (b"NONE", b"sowt"):
+        raise WavFormatError(
+            f"{path}: not 16-bit PCM AIFF ({bits}-bit "
+            f"{compression!r})")
+    dt = "<i2" if compression == b"sowt" else ">i2"
+    flat = np.frombuffer(ssnd[: (len(ssnd) // 2) * 2],
+                         dt).astype(np.int16)
+    if len(flat) // channels < frames:
+        raise WavFormatError(
+            f"{path}: SSND holds {len(flat) // channels} frames, COMM "
+            f"declares {frames}")
+    audio = flat[: frames * channels].reshape(frames, channels).T.copy()
+    return audio, int(round(rate)), meta
+
+
+def read_aiff(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
+    """Read an AIFF/AIFF-C file -> ((channels, n) float32, rate, meta).
+
+    Every malformation raises :class:`WavFormatError` (never a bare
+    struct/ValueError), so callers handle WAV and AIFF identically.
+    """
+    channels, frames, bits, rate, compression, ssnd, meta = \
+        _parse_aiff(path)
 
     if compression in (b"NONE", b"sowt"):
         little = compression == b"sowt"

@@ -93,6 +93,10 @@ def read_audio_pcm16(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
             from .au import read_au_pcm16
 
             return read_au_pcm16(path)
+        if is_aiff(head):
+            from .aiff import read_aiff_pcm16
+
+            return read_aiff_pcm16(path)
     except (WavFormatError, FlacFormatError):
         pass  # not 16-bit PCM (or no native decoder): quantize below
     audio, rate, meta = read_audio(path)

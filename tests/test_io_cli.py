@@ -402,3 +402,34 @@ def test_cli_version_flag(capsys):
     assert cli.main(["-V"]) == 0
     out = capsys.readouterr().out
     assert "phase-rotate version" in out and "phaserotate-tpu" in out
+
+
+def test_aiff_pcm16_fleet_fast_path(tmp_path):
+    """read_audio_pcm16 takes the no-float path for 16-bit PCM AIFF
+    (big-endian byteswap) and matches the float reader's quantization;
+    other encodings fall back to quantize."""
+    import numpy as np
+    import pytest
+
+    from phaserotate_tpu.io import read_aiff, read_audio_pcm16, write_aiff
+    from phaserotate_tpu.io.aiff import read_aiff_pcm16
+    from phaserotate_tpu.io.wav import WavFormatError
+
+    rate = 48000
+    t = np.arange(4800) / rate
+    x = np.stack([0.7 * np.sin(2 * np.pi * (330 + 110 * c) * t)
+                  for c in range(2)]).astype(np.float32)
+    p = str(tmp_path / "t.aiff")
+    write_aiff(p, x, rate, bits=16, float_format=False)
+    q, r2, _ = read_audio_pcm16(p)
+    assert q.dtype == np.int16 and r2 == rate and q.shape == x.shape
+    y = read_aiff(p)[0]
+    ref = np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
+    assert np.array_equal(q, ref)
+    # fl32 AIFF-C is not raw-PCM16: explicit reader raises, dispatch
+    # falls back to quantize
+    write_aiff(p, x, rate)  # default fl32
+    with pytest.raises(WavFormatError):
+        read_aiff_pcm16(p)
+    q2, _, _ = read_audio_pcm16(p)
+    assert q2.dtype == np.int16 and q2.shape == x.shape
