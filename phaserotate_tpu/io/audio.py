@@ -3,8 +3,8 @@
 The reference opens files through libsndfile and gets every major format
 for free (cli/phase-rotate.cc sf_open); here the formats mastering
 workflows actually exchange — WAV, AIFF, FLAC, Ogg Vorbis, Ogg Opus,
-MP3, W64, RF64/BW64, CAF — are dispatched by content sniffing on read
-and by extension on write.  Lossless codecs are the framework's own
+MP3, W64, RF64/BW64, CAF, AU — are dispatched by content sniffing on
+read and by extension on write.  Lossless codecs are the framework's own
 (io/flac.py, io/containers.py); lossy ones pair a framework container
 layer with the canonical system codec libraries (io/vorbis.py decodes
 Vorbis from scratch; vorbisenc/mp3/opus bind libvorbisenc, libmpg123/
