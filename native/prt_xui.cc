@@ -293,8 +293,8 @@ struct Dial {
     // inf and the wrap then yields NaN.  Wrap and quantize commute on
     // the value grid (the span is a multiple of the step).
     const float span = kMax - kMin;  // threesixty wrap
+    const bool from_above = v > kMax;
     if (v > kMax || v < kMin) {
-      const bool from_above = v > kMax;
       v = fmodf(v - kMin, span);
       if (v < 0) v += span;
       v += kMin;
@@ -304,6 +304,10 @@ struct Dial {
     }
     if (fabsf(v - kDefault) < kStep) v = kDefault;  // detent snap
     v = roundf(v / kStep) * kStep;                  // quantize
+    // re-apply the seam rule after quantizing: an off-grid value just
+    // above kMax (180.2) wraps to -179.8 and quantizes to kMin, but it
+    // came from above, so it must display kMax (gui/widgets.py parity)
+    if (v == kMin && from_above) v = kMax;
     if (v == value) return false;
     value = v;
     return true;

@@ -49,10 +49,13 @@ class DialModel:
         # values (1e308) reduce safely, whereas quantizing first
         # overflows round().  The wrap shifts by exact multiples of the
         # span (itself a multiple of the step), so wrap and quantize
-        # commute on the value grid.
+        # commute for on-grid values; off-grid values near the seam need
+        # the edge rule re-applied AFTER quantizing (below), or 180.2
+        # wraps to -179.8 and quantizes to -180.0 where quantize-then-
+        # wrap would display 180.0.
         span = self.maximum - self.minimum
+        came_from_above = v > self.maximum
         if v > self.maximum or v < self.minimum:
-            came_from_above = v > self.maximum
             v = math.fmod(v - self.minimum, span)
             if v < 0:
                 v += span
@@ -66,6 +69,8 @@ class DialModel:
         if self.detent and abs(v - self.default) < self.step:
             v = self.default
         v = self._quantize(v)
+        if v == self.minimum and came_from_above:
+            v = self.maximum
         if v != self.value:
             self.value = v
             if notify and self.on_change:

@@ -107,18 +107,42 @@ def read_audio_pcm16(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
 def _ogg_final_granule(path: str) -> int:
     """Granule position of the stream's last Ogg page (total PCM
     frames for Vorbis; 48 kHz frames incl. preskip for Opus), found by
-    scanning the file tail — no decode."""
+    scanning the file tail — no decode.
+
+    'OggS' can occur as a byte pattern inside packet data, so each
+    candidate is validated as a real page (version byte 0, header
+    fully present, page CRC matches) before its granule is trusted;
+    the result is clamped to >= 0 (Vorbis pages may carry -1)."""
     import os
     import struct
+
+    from .vorbis import _ogg_crc
 
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         f.seek(max(0, size - 65536))
         tail = f.read()
-    i = tail.rfind(b"OggS")
-    if i < 0 or i + 14 > len(tail):
-        return -1
-    return struct.unpack_from("<q", tail, i + 6)[0]
+    i = len(tail)
+    while True:
+        i = tail.rfind(b"OggS", 0, i)
+        if i < 0:
+            return -1
+        # header = capture(4) ver(1) type(1) granule(8) serial(4)
+        #          seq(4) crc(4) nsegs(1) segtable(nsegs)
+        if i + 27 > len(tail) or tail[i + 4] != 0:
+            continue
+        nsegs = tail[i + 26]
+        body = sum(tail[i + 27 : i + 27 + nsegs])
+        end = i + 27 + nsegs + body
+        if end > len(tail):
+            continue
+        (page_crc,) = struct.unpack_from("<I", tail, i + 22)
+        page = bytearray(tail[i:end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != page_crc:
+            continue
+        granule = struct.unpack_from("<q", tail, i + 6)[0]
+        return max(0, granule)
 
 
 def probe_audio(path: str) -> Tuple[int, int, int]:

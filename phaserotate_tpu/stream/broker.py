@@ -283,34 +283,54 @@ class StreamBroker:
                     y.copy_to_host_async()
                 self.dispatches += 1
                 self.frames_served += len(batch)
-                for slot, (_f, _d, (done, box)) in batch.items():
-                    if self._slot_gen[slot] != gens[slot]:
-                        # slot closed/reset (maybe reopened) while this
-                        # dispatch was in flight: its output belongs to
-                        # the dead session — do not touch the pipe
-                        box[0] = self._zeros
+                # delivery runs under the lock: the generation check and
+                # the pipe append must be atomic against close()/reset(),
+                # or a reopen landing between them still receives this
+                # dead dispatch's output (the slot-churn race, narrower
+                # window).  The device work is already queued; the only
+                # thing inside the critical section that can block is the
+                # pipeline-full readback, which had `depth` block periods
+                # to land.
+                with self._mu:
+                    for slot, (_f, _d, (done, box)) in batch.items():
+                        if self._slot_gen[slot] != gens[slot]:
+                            # slot closed/reset (maybe reopened) while
+                            # this dispatch was in flight: its output
+                            # belongs to the dead session — do not touch
+                            # the pipe
+                            box[0] = self._zeros
+                            done.set()
+                            continue
+                        pipe = self._pipes[slot]
+                        pipe.append((y, slot))
+                        if len(pipe) > self.depth:
+                            y_old, row = pipe.popleft()
+                            # np.asarray is cached on the array after the
+                            # first conversion, so N slots popping the
+                            # same dispatch pay one readback
+                            box[0] = np.asarray(y_old)[row]
+                        else:
+                            box[0] = self._zeros
                         done.set()
-                        continue
-                    pipe = self._pipes[slot]
-                    pipe.append((y, slot))
-                    if len(pipe) > self.depth:
-                        y_old, row = pipe.popleft()
-                        # np.asarray is cached on the array after the
-                        # first conversion, so N slots popping the same
-                        # dispatch pay one readback
-                        box[0] = np.asarray(y_old)[row]
-                    else:
-                        box[0] = self._zeros
-                    done.set()
             except BaseException:
                 # a failed dispatch must not leave waiters blocked or
-                # the broker claimed forever: release everyone, clear
-                # the claim, and surface the error to the dispatcher
+                # the broker claimed forever: release everyone — BOTH
+                # this batch's waiters AND any frames that queued into
+                # self._pending while the dispatch was in flight (those
+                # submitters would otherwise block in done.wait() until
+                # some unrelated future submit became dispatcher) —
+                # clear the claim, and surface the error.
                 for _slot, (_f, _d, (done, box)) in batch.items():
                     if box[0] is None:
                         box[0] = self._zeros
                     done.set()
                 with self._mu:
+                    stranded = self._pending
+                    self._pending = {}
+                    for _slot, (_f, _d, (done, box)) in stranded.items():
+                        if box[0] is None:
+                            box[0] = self._zeros
+                        done.set()
                     self._dispatching = False
                     self._cv.notify_all()
                 raise

@@ -377,3 +377,56 @@ def test_submit_to_unopened_slot_raises():
     broker.close(k)
     with pytest.raises(RuntimeError):
         broker.submit(k, x, degs)  # closed
+
+
+def test_dispatch_failure_releases_queued_submitters(monkeypatch, rng):
+    """A failed dispatch must release not only its own batch's waiters
+    but also frames that queued into _pending WHILE it was in flight —
+    those submitters would otherwise block in done.wait() forever (no
+    dispatcher remains to serve them)."""
+    import time
+
+    from phaserotate_tpu.stream import broker as broker_mod
+
+    gate = threading.Event()
+
+    def failing_step(*args, **kwargs):
+        gate.wait(timeout=10)  # hold until the second submit queues
+        raise RuntimeError("injected dispatch failure")
+
+    monkeypatch.setattr(broker_mod, "_slot_step", failing_step)
+    broker = StreamBroker(GEOM, 1, capacity=2, depth=1, hold_frac=0.0)
+    a, b = broker.open(), broker.open()
+    x = rng.standard_normal((1, GEOM.parsiz)).astype(np.float32)
+    degs = np.array([10.0], np.float32)
+
+    results = {}
+    errors = {}
+
+    def run(tag, slot):
+        try:
+            results[tag] = broker.submit(slot, x, degs)
+        except RuntimeError as e:
+            errors[tag] = e
+
+    ta = threading.Thread(target=run, args=("a", a))
+    ta.start()
+    time.sleep(0.1)  # thread A is the dispatcher, held at the gate
+    tb = threading.Thread(target=run, args=("b", b))
+    tb.start()
+    time.sleep(0.1)  # thread B's frame is queued in _pending
+    gate.set()
+    ta.join(timeout=10)
+    tb.join(timeout=10)
+    assert not ta.is_alive() and not tb.is_alive()
+    # the dispatcher surfaces the error; the queued submitter is
+    # released with zeros (its frame never ran)
+    assert "a" in errors
+    assert "b" in results or "b" in errors
+    if "b" in results:
+        np.testing.assert_array_equal(results["b"], 0.0)
+    # broker is reusable after the failure (claim was cleared): with
+    # no dispatcher claimed, close() succeeds and a fresh open works
+    broker.close(a)
+    broker.close(b)
+    assert broker.in_use() == 0

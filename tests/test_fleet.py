@@ -161,3 +161,49 @@ def test_probe_audio_headers_match_decode(tmp_path, rng):
         assert rate_p == arate, p
         assert ch_p == audio.shape[0], p
         assert n_p == audio.shape[1], p
+
+
+def _ogg_page(granule: int, body: bytes, htype: int = 4) -> bytes:
+    """Hand-built, CRC-valid Ogg page (for granule-scan tests)."""
+    import struct
+
+    from phaserotate_tpu.io.vorbis import _ogg_crc
+
+    segs, n = [], len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    hdr = (b"OggS" + bytes([0, htype]) + struct.pack("<q", granule)
+           + struct.pack("<I", 1) + struct.pack("<I", 0)
+           + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs))
+    page = hdr + body
+    crc = _ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def test_ogg_final_granule_validates_pages(tmp_path):
+    """An 'OggS' byte pattern inside packet data must not be trusted as
+    a page: the scan validates version byte + CRC and falls back to the
+    real page; negative (Vorbis -1) granules clamp to 0."""
+    from phaserotate_tpu.io.audio import _ogg_final_granule
+
+    # spurious capture pattern INSIDE the final page's packet data,
+    # followed by a non-zero byte so it can't parse as version 0
+    body = b"\x01" * 40 + b"OggS\x07garbage-not-a-page" + b"\x02" * 40
+    p = str(tmp_path / "spurious.ogg")
+    with open(p, "wb") as f:
+        f.write(_ogg_page(98765, body))
+    assert _ogg_final_granule(p) == 98765
+
+    # a valid page carrying granule -1 clamps to 0, not a bogus count
+    p2 = str(tmp_path / "neg.ogg")
+    with open(p2, "wb") as f:
+        f.write(_ogg_page(-1, b"\x00" * 16))
+    assert _ogg_final_granule(p2) == 0
+
+    # no valid page at all -> -1 (probe falls back to full decode)
+    p3 = str(tmp_path / "junk.ogg")
+    with open(p3, "wb") as f:
+        f.write(b"OggS" + b"\xff" * 100)
+    assert _ogg_final_granule(p3) == -1

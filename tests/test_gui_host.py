@@ -58,7 +58,11 @@ def test_dial_model_hostile_values():
     d2 = DialModel()
     for v, want in ((190.0, -170.0), (-190.0, 170.0), (540.0, 180.0),
                     (900.0, 180.0), (-541.0, 179.0), (180.0, 180.0),
-                    (-180.0, -180.0), (361.0, 1.0)):
+                    (-180.0, -180.0), (361.0, 1.0),
+                    # off-grid values just above the seam must display
+                    # +180, not wrap+quantize down to -180 (the edge
+                    # rule is re-applied after quantization)
+                    (180.2, 180.0), (540.2, 180.0), (-180.2, 180.0)):
         d2.set_value(v)
         assert d2.value == want, (v, d2.value, want)
 
