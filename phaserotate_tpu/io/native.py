@@ -25,6 +25,7 @@ __all__ = [
     "pcm24_to_f32",
     "f32_to_pcm24",
     "flac_decode",
+    "pack_residual_raw",
     "Ring",
 ]
 
@@ -92,6 +93,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_size_t, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.c_int64]
+    except AttributeError:
+        pass
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    try:  # round-5 addition (wire_pack.cc): absence is fine
+        lib.prt_pack_residual.restype = ctypes.c_int64
+        lib.prt_pack_residual.argtypes = [
+            i16p, ctypes.c_int64, ctypes.c_int64,
+            i32p, ctypes.c_int64, i32p, i32p, i32p]
     except AttributeError:
         pass
     _lib = lib
@@ -235,6 +244,30 @@ def flac_decode(data: bytes, frame_start: int, channels: int,
     if rc < 0:
         return None
     return out[:, :rc]
+
+
+def pack_residual_raw(x16: np.ndarray, words: np.ndarray,
+                      widths: np.ndarray, woffs: np.ndarray,
+                      order: np.ndarray) -> int:
+    """Native residual wire pack (wire_pack.cc) into caller buffers.
+
+    ``x16`` is (S, n) int16; the out arrays must be C-contiguous int32
+    of shapes (cap,), (S, nb), (S, nb), (S,).  Returns total words
+    written, or -1 when the native library lacks the entry point (the
+    caller then uses the numpy reference pack in search/packed.py).
+    ctypes releases the GIL for the call's duration, so a fleet's pack
+    overlaps the previous chunk's host->device transfer.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "prt_pack_residual"):
+        return -1
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    S, n = x16.shape
+    return int(lib.prt_pack_residual(
+        x16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), S, n,
+        words.ctypes.data_as(i32p), words.size,
+        widths.ctypes.data_as(i32p), woffs.ctypes.data_as(i32p),
+        order.ctypes.data_as(i32p)))
 
 
 class Ring:

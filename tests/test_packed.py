@@ -123,6 +123,48 @@ def test_sweep_parity_vs_pcm16(rng):
     np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
 
 
+def test_native_pack_bit_parity(rng):
+    """wire_pack.cc must reproduce the numpy pack bit for bit (words,
+    widths, offsets, order) on random, hostile, and odd-length inputs."""
+    from phaserotate_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native host library unavailable")
+    n = 3 * BLOCK + 17
+    imp = np.zeros(n, np.int16)
+    imp[::BLOCK] = 32767
+    imp[1::BLOCK] = -32768
+    cases = [
+        rng.integers(-32768, 32768, (3, 2, 10_000), np.int16),
+        np.full(n, 32767, np.int16)[None],
+        (np.arange(n) % 2 * 65535 - 32768).astype(np.int16)[None],
+        imp[None],
+    ]
+    cases += [rng.integers(-32768, 32768, (2, m), np.int16)
+              for m in (1, BLOCK - 1, BLOCK + 1, 2 * BLOCK + 333)]
+    for x in cases:
+        a = pack_residual(x, native=True)
+        b = pack_residual(x, native=False)
+        np.testing.assert_array_equal(a.order, b.order)
+        np.testing.assert_array_equal(a.widths, b.widths)
+        np.testing.assert_array_equal(a.woffs, b.woffs)
+        np.testing.assert_array_equal(a.words, b.words)
+        assert a.n == b.n and a.shape == b.shape
+
+
+def test_native_pack_scratch_reuse(rng):
+    from phaserotate_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native host library unavailable")
+    x = rng.integers(-32768, 32768, (2, 3 * BLOCK), np.int16)
+    scratch = np.empty(1 << 20, np.int32)
+    pk = pack_residual(x, out_words=scratch, native=True)
+    assert pk.words.base is scratch
+    np.testing.assert_array_equal(
+        pk.words, pack_residual(x, native=False).words)
+
+
 def test_wire_is_smaller_for_audio(rng):
     """On plausibly-musical 16-bit content the packed wire must beat
     2 bytes/sample, grid padding included."""
