@@ -246,7 +246,14 @@ def _make_disk_corpus(root, n_files=512, rate=48000, seconds=10,
     files (10 s mono each).  ``n_unique`` distinct signals are
     synthesized and encoded once; the rest are byte copies (decode cost
     is content-independent, so copies measure the same work while
-    keeping corpus generation off the bench's critical path)."""
+    keeping corpus generation off the bench's critical path).
+
+    Two content tiers: the original tier carries -26 dBFS white noise
+    (nearly incompressible — FLAC needs ~13 bits/sample on it), kept
+    byte-identical to earlier rounds for comparability; the ``wavq``
+    tier carries a clean-master -54 dBFS noise floor, where lossless
+    residual packing engages (~11 bits/sample) — the content class the
+    packed wire transport exists for.  Returns {fmt: [paths]}."""
     import shutil
 
     from phaserotate_tpu.io import write_flac, write_wav
@@ -255,29 +262,38 @@ def _make_disk_corpus(root, n_files=512, rate=48000, seconds=10,
     n = rate * seconds
     rng = np.random.default_rng(7)
     t = np.arange(n) / rate
-    uniq = []
-    for u in range(n_unique):
+
+    def synth(u, noise):
         f0 = 55.0 * (u + 2)
-        x = (0.4 * np.sin(2 * np.pi * f0 * t)
-             + 0.2 * np.sin(2 * np.pi * 2.7 * f0 * t + 0.3 * u)
-             + 0.05 * rng.standard_normal(n)).astype(np.float32)
-        uniq.append(x[None])
-    wavs, flacs = [], []
-    for ext, write, bucket in (
-            ("wav", lambda p, x: write_wav(p, x, rate, bits=16,
-                                           float_format=False), wavs),
-            ("flac", lambda p, x: write_flac(p, x, rate, bits=16), flacs)):
+        return (0.4 * np.sin(2 * np.pi * f0 * t)
+                + 0.2 * np.sin(2 * np.pi * 2.7 * f0 * t + 0.3 * u)
+                + noise * rng.standard_normal(n)).astype(np.float32)[None]
+
+    uniq = [synth(u, 0.05) for u in range(n_unique)]
+    quiet = [synth(u, 0.002) for u in range(n_unique)]
+
+    def write_wav16(p, x):
+        write_wav(p, x, rate, bits=16, float_format=False)
+
+    corpus = {}
+    for fmt, write, signals in (
+            ("wav", write_wav16, uniq),
+            ("flac", lambda p, x: write_flac(p, x, rate, bits=16), uniq),
+            ("wavq", write_wav16, quiet)):
+        ext = "wav" if fmt == "wavq" else fmt
+        bucket = []
         for u in range(n_unique):
-            p = os.path.join(root, f"u{u:02d}.{ext}")
-            write(p, uniq[u])
+            p = os.path.join(root, f"{fmt}_u{u:02d}.{ext}")
+            write(p, signals[u])
             bucket.append(p)
         i = 0
         while len(bucket) < n_files:
-            p = os.path.join(root, f"c{i:04d}.{ext}")
+            p = os.path.join(root, f"{fmt}_c{i:04d}.{ext}")
             shutil.copyfile(bucket[i % n_unique], p)
             bucket.append(p)
             i += 1
-    return wavs, flacs
+        corpus[fmt] = bucket
+    return corpus
 
 
 def measure_wire_bw(mb=64):
@@ -300,20 +316,31 @@ def bench_search_disk(rate=48000, seconds=10, batch=512, chunk=64):
     selection, from real files on disk (the reference's whole search
     workflow, cli/phase-rotate.cc:573-587 + 779-948).
 
-    Ingest is the raw-PCM path: 16-bit WAV/FLAC decode straight to an
-    int16 staging buffer (native FLAC decoder, no host floats) and
-    dequantize on device — half the tunnel bytes of float32.  The
-    batch streams through the device in ``chunk``-file sub-batches so
-    host->device transfer, device compute, and (in sustained mode)
-    decode all overlap; on the tunneled bench device the wall clock is
-    then the WIRE time — ~2 bytes/sample at the measured link
-    bandwidth — which is the physical ceiling for any from-disk fleet
-    (measured and reported as ``wire_bw_mb_s`` so the ceiling is
-    explicit).  ``serial`` runs decode and device stages back to back;
-    ``sustained`` overlaps a decode thread with the streaming device
-    passes; a parity check asserts both modes select identical angles.
+    Ingest is the adaptive-transport path: 16-bit WAV/FLAC decode
+    straight to an int16 staging slot (native FLAC decoder, no host
+    floats), then the native residual packer (wire_pack.cc, GIL
+    released) tries to beat the 16-bit bitcast — compressible content
+    ships packed residuals unpacked in-graph, incompressible content
+    ships raw pcm16.  The batch streams through the device in
+    ``chunk``-file sub-batches; ``sustained`` keeps TWO decode+pack
+    stages in flight ahead of the dispatch loop.
 
-    Returns ({fmt: (serial_fps, sustained_fps)}, wire_bw_mb_s).
+    On the tunneled bench device the wall clock is the WIRE time, and
+    the link bandwidth swings several-fold minute to minute (measured
+    r5: a 61 MB transfer+force took 1.5-11 s across adjacent
+    attempts; decode itself is ~9 ms/chunk — the round-4
+    ``wav sustained < serial`` reading was link noise on 1-round
+    samples, not decode stealing the core).  Defenses here: wire
+    probes interleave with the format rows, serial/sustained passes
+    alternate, every row gets >= 2 rounds, and the per-format figure
+    is the better mode's median so a noisy mode cannot become the
+    headline.  A parity check asserts both modes select identical
+    angles.
+
+    Returns ({fmt: {serial, sustained, fps, bits_per_sample}},
+             wire_probes_mb_s, lossless_floor_bits_per_sample) — the
+    floor is measured from the corpus's own FLAC encodings (Rice
+    coding, the tightest practical lossless bound for this content).
     """
     import tempfile
     from concurrent.futures import ThreadPoolExecutor
@@ -321,33 +348,49 @@ def bench_search_disk(rate=48000, seconds=10, batch=512, chunk=64):
     from phaserotate_tpu.core.sizes import OfflineGeometry
     from phaserotate_tpu.io import read_audio_pcm16
     from phaserotate_tpu.search.minimize import select_min_peak_angles_batch
+    from phaserotate_tpu.search.packed import (
+        PackedChunk,
+        pack_adaptive,
+        sweep_peaks_aux_packed,
+    )
 
     geom = OfflineGeometry(blksiz=8192)
     n = rate * seconds
     n_chunks = -(-batch // chunk)
     root = tempfile.mkdtemp(prefix="prtcorpus")
-    wavs, flacs = _make_disk_corpus(root, n_files=batch, rate=rate,
-                                    seconds=seconds)
+    corpus = _make_disk_corpus(root, n_files=batch, rate=rate,
+                               seconds=seconds)
     sweep = _shared_sweep(geom, n)  # jitted per (geom, n): chunk shape
-    # preallocated, pre-touched staging slots, ONE per chunk (the same
-    # total footprint as one full-batch buffer): device_put may read
-    # the host buffer asynchronously, so no slot is rewritten while its
-    # transfer can still be in flight — each pass ends with a full
-    # force (select_all) before any slot is reused by the next pass
+    # preallocated, pre-touched staging slots, ONE per chunk: device_put
+    # may read the host buffer asynchronously, so no slot is rewritten
+    # while its transfer can still be in flight — each pass ends with a
+    # full force (select_all) before any slot is reused; the pack
+    # scratch rides the same per-slot discipline
     ring = [np.zeros((chunk, 1, n), np.int16) for _ in range(n_chunks)]
-    io = ThreadPoolExecutor(1)
+    scratch = [np.zeros(chunk * n * 16 // 32, np.int32)
+               for _ in range(n_chunks)]
+    io = ThreadPoolExecutor(2)  # two decode+pack stages in flight
+    shipped = [0]  # wire bytes accumulator (per timed row)
 
-    def decode_chunk(buf, paths):
+    def stage_chunk(k, paths):
+        buf = ring[k]
         for i, p in enumerate(paths):
             buf[i, 0, :] = read_audio_pcm16(p)[0][0, :n]
         if len(paths) < chunk:
             buf[len(paths):] = 0
+        pk = pack_adaptive(buf, scratch[k])
+        if pk is not None:
+            shipped[0] += pk.wire_bytes
+            return pk
+        shipped[0] += buf.nbytes
         return buf
 
-    def dispatch(buf):
+    def dispatch(obj):
+        if isinstance(obj, PackedChunk):
+            return sweep_peaks_aux_packed(obj, geom)
         # int16 shipped as bitcast int32 (the tunnel cannot transfer
         # int16 — pack_pcm16 docstring); enqueue only, forced later
-        return sweep(jnp.asarray(buf.view(np.int32)), 0.0)
+        return sweep(jnp.asarray(obj.view(np.int32)), 0.0)
 
     def select_all(handles):
         tables = np.concatenate([np.asarray(t) for t, _ in handles])
@@ -362,28 +405,35 @@ def bench_search_disk(rate=48000, seconds=10, batch=512, chunk=64):
     def pass_serial(paths):
         handles = []
         for k, part in enumerate(chunks_of(paths)):
-            decode_chunk(ring[k], part)
-            h = dispatch(ring[k])
+            h = dispatch(stage_chunk(k, part))
             np.asarray(h[0])  # force: no overlap in serial mode
             handles.append(h)
         return select_all(handles)
 
     def pass_sustained(paths):
         parts = chunks_of(paths)
+        futs = {k: io.submit(stage_chunk, k, parts[k])
+                for k in range(min(2, len(parts)))}
         handles = []
-        fut = io.submit(decode_chunk, ring[0], parts[0])
         for k in range(len(parts)):
-            buf = fut.result()
-            if k + 1 < len(parts):
-                fut = io.submit(decode_chunk, ring[k + 1],
-                                parts[k + 1])
-            handles.append(dispatch(buf))
+            obj = futs.pop(k).result()
+            if k + 2 < len(parts):
+                futs[k + 2] = io.submit(stage_chunk, k + 2,
+                                        parts[k + 2])
+            handles.append(dispatch(obj))
         return select_all(handles)  # forces every queued sweep
 
+    wavs, flacs, quiets = corpus["wav"], corpus["flac"], corpus["wavq"]
     mixed = wavs[: batch // 2] + flacs[: batch - batch // 2]
+    floor_bps = 8.0 * sum(os.path.getsize(p) for p in flacs) \
+        / (len(flacs) * n)
     results = {}
+    probes = []
     try:
-        pass_serial(mixed)  # warm: pages + program + pools
+        # warm: pages + pools + BOTH transport programs (the quiet tier
+        # compiles the packed-unpack variants)
+        pass_serial(mixed)
+        pass_serial(quiets)
         # parity: the overlapped pipeline must select what serial does
         r_serial = pass_serial(mixed)
         r_sust = pass_sustained(mixed)
@@ -395,25 +445,31 @@ def bench_search_disk(rate=48000, seconds=10, batch=512, chunk=64):
             fn(paths)
             return batch / (time.perf_counter() - t0)
 
-        # tunnel bandwidth swings several-fold minute to minute, so
-        # serial/sustained passes ALTERNATE — both modes sample the
-        # same conditions and their ratio stays meaningful; the
-        # headline (mixed) gets the repetitions, wav/flac one round
         for name, paths, rounds in (("mixed", mixed, REPS),
-                                    ("wav", wavs, 1),
-                                    ("flac", flacs, 1)):
+                                    ("wav", wavs, 2),
+                                    ("flac", flacs, 2),
+                                    ("wavq", quiets, 2)):
+            probes.append(measure_wire_bw(16))
+            shipped[0] = 0
             ser, sus = [], []
             for _ in range(rounds):
                 ser.append(timed(pass_serial, paths))
                 sus.append(timed(pass_sustained, paths))
-            results[name] = (statistics.median(ser),
-                             statistics.median(sus))
+            med_ser = statistics.median(ser)
+            med_sus = statistics.median(sus)
+            results[name] = {
+                "serial": med_ser,
+                "sustained": med_sus,
+                "fps": max(med_ser, med_sus),
+                "bits_per_sample": shipped[0] * 8.0
+                / (2 * rounds * batch * n),
+            }
     finally:
         io.shutdown()
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
-    return results, measure_wire_bw()
+    return results, probes, floor_bps
 
 
 def bench_stream(rate=48000, blocks=(64, 256, 1024), n_iters=24):
@@ -621,8 +677,11 @@ def main():
     _stage(f"search done: {fps:.0f} files/s")
     fps_e2e = bench_search_e2e()
     _stage(f"search inmem done: {fps_e2e:.0f} files/s")
-    disk, wire_bw = bench_search_disk()
-    _stage(f"search disk done: {disk} (wire {wire_bw:.0f} MB/s)")
+    disk, wire_probes, floor_bps = bench_search_disk()
+    wire_bw = statistics.median(wire_probes)
+    _stage(f"search disk done: "
+           f"{ {k: round(v['fps'], 1) for k, v in disk.items()} } "
+           f"(wire probes {[round(p, 1) for p in wire_probes]} MB/s)")
     sync = bench_stream()
     _stage("stream sync done")
     (pipe_xrt, pipe_extra_ms, pipe_p99, pipe_depth,
@@ -647,34 +706,62 @@ def main():
                 "unit": "x_realtime_per_chip",
                 # the binding fleet ratio is the ON-DISK number: read ->
                 # decode -> sweep -> select from real files (round-3
-                # verdict #1); the in-memory figures remain for device
-                # headroom bookkeeping
+                # verdict #1), best mode per row (round-4 verdict #1);
+                # the in-memory figures remain for device headroom
+                # bookkeeping
                 "vs_baseline": round(
-                    min(rt / 1000.0, disk["mixed"][1] / 100.0), 3),
+                    min(rt / 1000.0, disk["mixed"]["fps"] / 100.0), 3),
                 "search_files_per_s": round(fps, 1),
                 "search_files_per_s_inmem": round(fps_e2e, 1),
-                "search_files_per_s_disk": round(disk["mixed"][1], 1),
+                "search_files_per_s_disk": round(
+                    disk["mixed"]["fps"], 1),
+                "search_disk_fps": {
+                    k: round(v["fps"], 1) for k, v in disk.items()},
                 "search_disk_serial_fps": {
-                    k: round(v[0], 1) for k, v in disk.items()},
+                    k: round(v["serial"], 1) for k, v in disk.items()},
                 "search_disk_sustained_fps": {
-                    k: round(v[1], 1) for k, v in disk.items()},
+                    k: round(v["sustained"], 1)
+                    for k, v in disk.items()},
+                # achieved wire bits/sample per row under the adaptive
+                # transport (pcm16 = 16; packed engages when content
+                # compresses below 0.9 x that)
+                "search_disk_bits_per_sample": {
+                    k: round(v["bits_per_sample"], 2)
+                    for k, v in disk.items()},
                 # the from-disk fleet is wire-bound on this bench
-                # device: ~2 bytes/sample over the measured tunnel
-                # link; the ceiling (files/s at that bandwidth for a
-                # 10 s mono 16-bit file) bounds ANY from-disk number
-                # here regardless of decode/compute speed
+                # device; the ceiling (files/s at the probed bandwidth
+                # for a 10 s mono file at the row's achieved
+                # bits/sample) bounds ANY from-disk number here
+                # regardless of decode/compute speed.  Probes
+                # interleave with the rows because the link swings
+                # several-fold minute to minute (can push pct > 1).
                 "wire_bw_mb_s": round(wire_bw, 1),
+                "wire_bw_probes_mb_s": [round(p, 1)
+                                        for p in wire_probes],
                 "search_disk_fps_wire_ceiling": round(
-                    wire_bw * 1e6 / (2.0 * 48000 * 10), 1),
-                # fraction of that physical ceiling the pipeline
-                # actually achieves (1.0 = at the wire's speed of
-                # light; the link itself swings several-fold minute to
-                # minute, so this can exceed 1 when the ceiling probe
-                # sampled a slower moment than the passes)
+                    wire_bw * 1e6
+                    / (disk["mixed"]["bits_per_sample"] / 8.0
+                       * 48000 * 10), 1),
                 "search_disk_pct_of_ceiling": round(
-                    disk["mixed"][1]
-                    / max(wire_bw * 1e6 / (2.0 * 48000 * 10), 1e-9),
-                    2),
+                    disk["mixed"]["fps"]
+                    / max(wire_bw * 1e6
+                          / (disk["mixed"]["bits_per_sample"] / 8.0
+                             * 48000 * 10), 1e-9), 2),
+                # ADJUDICATION of the 100 files/s north star on this
+                # link: the bits/sample a 10 s mono file must fit in,
+                # vs the corpus's own measured lossless floor (its
+                # FLAC encodings, Rice-coded).  reachable=false means
+                # no lossless transport can hit 100 fps on this
+                # tunnel with this content — the target needs either
+                # a faster link or more compressible content, not a
+                # better pipeline.
+                "target_100fps_requires_bits_per_sample": round(
+                    wire_bw * 1e6 * 8.0 / (100.0 * 48000 * 10), 2),
+                "search_disk_lossless_floor_bits_per_sample": round(
+                    floor_bps, 2),
+                "target_100fps_reachable_lossless": bool(
+                    wire_bw * 1e6 * 8.0 / (100.0 * 48000 * 10)
+                    >= floor_bps),
                 # single-stream real-time margin (round-2 verdict #1):
                 # sync = one device round trip per frame (honest tunnel
                 # floor); pipelined = depth-16 dispatch pipeline, the

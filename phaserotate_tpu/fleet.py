@@ -70,6 +70,7 @@ def analyze_paths(
     batch: int = 64,
     checkpoint: Optional[str] = None,
     progress=None,
+    transport: str = "auto",
 ) -> Dict[str, Tuple[SearchResult, int]]:
     """Analyze many files -> {path: (SearchResult, rate)}.
 
@@ -77,10 +78,25 @@ def analyze_paths(
     with the device sweep of the previous batch), bucketed by geometry,
     zero-padded to the bucket length, and swept ``batch`` files per
     device dispatch.
+
+    ``transport`` picks the host->device wire format: "pcm16" ships the
+    raw 16-bit bitcast; "packed" ships the lossless residual transport
+    (search/packed.py); "auto" packs on the staging thread and ships
+    whichever is smaller per batch — compressible masters ride the
+    packed wire, noisy ones skip the overhead.  All three are
+    value-identical (the unpack is bit-exact).
     """
     from .io import read_audio_pcm16
+    from .search.packed import (
+        pack_adaptive,
+        pack_residual,
+        sweep_peaks_aux_packed,
+    )
     from .search.sweep import sweep_peaks_aux_pcm16
     from .utils.checkpoint import SweepCheckpoint
+
+    if transport not in ("auto", "pcm16", "packed"):
+        raise ValueError(f"unknown transport {transport!r}")
 
     ckpt = None
     results: Dict[str, Tuple[SearchResult, int]] = {}
@@ -108,14 +124,32 @@ def analyze_paths(
 
     pool = ThreadPoolExecutor(1)
 
-    def stage(group: List[str], key) -> np.ndarray:
+    def stage(group: List[str], key):
+        """Decode a batch; returns the transport object to dispatch —
+        an int16 array (pcm16) or a PackedChunk.  Runs on the staging
+        thread, so the pack overlaps the previous batch's device pass."""
         rate, channels, n_pad = key
         buf = np.zeros((len(group), channels, n_pad), np.int16)
         for i, p in enumerate(group):
             audio = read_audio_pcm16(p)[0]
             buf[i, :, : min(audio.shape[1], n_pad)] = \
                 audio[:, :n_pad]
+        if transport == "packed":
+            return pack_residual(buf)
+        if transport == "auto":
+            scratch = np.empty(
+                max(1 << 16, buf.size * 16 // 32), np.int32)
+            pk = pack_adaptive(buf, scratch)
+            if pk is not None:
+                return pk
         return buf
+
+    def dispatch(obj, geom):
+        from .search.packed import PackedChunk
+
+        if isinstance(obj, PackedChunk):
+            return sweep_peaks_aux_packed(obj, geom)
+        return sweep_peaks_aux_pcm16(obj, geom)
 
     def finish(pending, rate) -> None:
         """Force one in-flight sweep and emit its selections."""
@@ -146,13 +180,13 @@ def analyze_paths(
             # rides in `pending` — device_put may read it async)
             pending = None
             for bi, names in enumerate(batches):
-                buf = fut.result()
+                obj = fut.result()
                 if bi + 1 < len(batches):
                     fut = pool.submit(stage, batches[bi + 1], key)
-                handles = sweep_peaks_aux_pcm16(buf, geom)
+                handles = dispatch(obj, geom)
                 if pending is not None:
                     finish(pending, rate)
-                pending = (names, handles, buf)
+                pending = (names, handles, obj)
             if pending is not None:
                 finish(pending, rate)
     finally:
@@ -196,6 +230,10 @@ def main(argv=None) -> int:
                     help="files per device dispatch (default 64)")
     ap.add_argument("--checkpoint", default=None,
                     help="sweep-table store for resumable fleets")
+    ap.add_argument("--transport", default="auto",
+                    choices=("auto", "pcm16", "packed"),
+                    help="host->device wire format (auto: ship the "
+                         "smaller of packed residuals / raw pcm16)")
     ap.add_argument("--apply", action="store_true",
                     help="write rotated copies of every file")
     ap.add_argument("--outdir", default=None,
@@ -215,7 +253,8 @@ def main(argv=None) -> int:
     results = analyze_paths(
         args.files, blksiz=args.fftlen, stride=args.stride,
         link_channels=args.link, batch=args.batch,
-        checkpoint=args.checkpoint, progress=show)
+        checkpoint=args.checkpoint, progress=show,
+        transport=args.transport)
 
     if args.apply:
         import os

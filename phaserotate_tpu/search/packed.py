@@ -46,9 +46,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PackedChunk", "pack_residual", "unpack_residual",
-           "sweep_peaks_aux_packed", "packed_bits_per_sample",
-           "BLOCK", "MAX_ORDER"]
+__all__ = ["PackedChunk", "pack_residual", "pack_adaptive",
+           "unpack_residual", "sweep_peaks_aux_packed",
+           "packed_bits_per_sample", "BLOCK", "MAX_ORDER"]
 
 # Samples per width block.  Must be a multiple of 32 so every block's
 # packed payload is word-aligned (4096 * w bits = 128*w words exactly),
@@ -251,6 +251,44 @@ def packed_bits_per_sample(chunk: PackedChunk) -> float:
     """Achieved wire bits per audio sample, metadata included."""
     n_samples = int(np.prod(chunk.shape[:-1])) * chunk.n
     return chunk.wire_bytes * 8.0 / max(1, n_samples)
+
+
+def pack_adaptive(x16: np.ndarray, scratch: np.ndarray,
+                  threshold: float = 0.9) -> PackedChunk | None:
+    """Adaptive transport decision: pack iff it beats pcm16 by margin.
+
+    Runs the native packer with ``scratch`` (int32) as both the word
+    budget and the output buffer: the budget is ``threshold`` x the
+    pcm16 wire size, so content whose residuals don't compress (this
+    corpus's loud noise floors, already-noisy masters) aborts the pack
+    mid-way and ships the plain 16-bit bitcast instead — the fleet
+    never pays wire for a transport that doesn't win.  Returns None
+    when pcm16 should be shipped (budget exceeded, or no native
+    packer — the numpy pack is slower than the wire it would save).
+    """
+    from ..io.native import pack_residual_raw
+
+    shape = x16.shape
+    n = shape[-1]
+    streams = x16.reshape(-1, n)
+    S = streams.shape[0]
+    nb = -(-n // BLOCK)
+    budget = int(threshold * S * n * 16) // 32
+    cap = min(scratch.size, _grid_pad(budget + 1))
+    widths = np.empty((S, nb), np.int32)
+    woffs = np.empty((S, nb), np.int32)
+    order = np.empty(S, np.int32)
+    total = pack_residual_raw(streams, scratch[:cap], widths, woffs,
+                              order)
+    if total < 0 or total > budget:
+        return None
+    wpad = _grid_pad(total + 1)
+    if wpad > scratch.size:
+        return None
+    words = scratch[:wpad]
+    words[total:] = 0
+    return PackedChunk(words=words, widths=widths, woffs=woffs,
+                       order=order, n=n, shape=shape)
 
 
 def unpack_residual(words: jnp.ndarray, widths: jnp.ndarray,

@@ -44,6 +44,21 @@ def test_fleet_matches_single_file_search(tmp_path, rng):
                                    rtol=0, atol=0)
 
 
+def test_fleet_transport_parity(tmp_path, rng):
+    """All three wire transports (pcm16 / packed / auto) must produce
+    identical selections and peak tables — the packed unpack is
+    bit-exact, so the device sees the same floats either way."""
+    paths = _mk(tmp_path, rng, n_files=4)
+    base = analyze_paths(paths, transport="pcm16")
+    for transport in ("packed", "auto"):
+        res = analyze_paths(paths, transport=transport)
+        for p in paths:
+            assert res[p][0].angles_units == base[p][0].angles_units, \
+                (transport, p)
+            np.testing.assert_array_equal(
+                res[p][0].peak_min, base[p][0].peak_min)
+
+
 def test_fleet_mixed_lengths_and_formats(tmp_path, rng):
     """Different lengths land in different buckets; FLAC rides the
     same int16 ingest; results still match per-file search."""
