@@ -57,6 +57,7 @@ Run:  python -m phaserotate_tpu.bridge --socket /tmp/phaserotate_tpu.sock
 from __future__ import annotations
 
 import argparse
+import collections
 import os
 import socket
 import struct
@@ -715,13 +716,26 @@ class BridgeClient:
     production clients are the native ones in native/)."""
 
     def __init__(self, path: str, rate: int, channels: int,
-                 init: bool = True):
+                 init: bool = True, slack: int = 0):
         """``init=False`` skips the INIT handshake (no plugin session is
-        instantiated) — for analyze-only clients."""
+        instantiated) — for analyze-only clients.
+
+        ``slack`` keeps that many PROC requests in flight: process()
+        ships block j and returns the daemon's reply for block
+        j - slack (zeros while filling), so a reply has ``slack`` extra
+        block periods to land before the client needs it — the
+        spike-absorption a synchronous client needs on a link whose
+        round trip occasionally spikes to several times its median.
+        Costs ``slack`` blocks of added latency (far under the plugin's
+        own parsiz + firlen/2); the stream itself is identical, just
+        delayed (tested).
+        """
         self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self.sock.connect(path)
         self.rate = rate
         self.channels = channels
+        self.slack = int(slack)
+        self._inflight: collections.deque = collections.deque()
         self.sock.sendall(struct.pack("<I", MAGIC))
         self.latency = self.parsiz = None
         if init:
@@ -758,7 +772,9 @@ class BridgeClient:
         """block: (channels, n) float32 -> same shape, delayed output.
 
         Meter levels (daemon --meters) arriving before the reply are
-        collected into :attr:`levels` (list of per-block tuples)."""
+        collected into :attr:`levels` (list of per-block tuples).
+        With ``slack`` > 0 the returned output lags by ``slack``
+        process() calls (zeros until the window fills)."""
         x = np.asarray(block, np.float32).reshape(self.channels, -1)
         n = x.shape[1]
         degs = np.broadcast_to(
@@ -766,6 +782,14 @@ class BridgeClient:
         payload = (struct.pack("<I", n) + degs.tobytes()
                    + x.T.reshape(-1).astype(np.float32).tobytes())
         _send_msg(self.sock, T_PROC, payload)
+        if self.slack > 0:
+            self._inflight.append(n)
+            if len(self._inflight) <= self.slack:
+                return np.zeros((self.channels, n), np.float32)
+            self._inflight.popleft()
+        return self._read_proc_reply()
+
+    def _read_proc_reply(self) -> np.ndarray:
         while True:
             mtype, reply = _recv_msg(self.sock)
             if mtype == T_PROC_OK:
@@ -818,8 +842,18 @@ class BridgeClient:
                         "peak_min": pm, "found": bool(found)})
         return out
 
+    def drain(self) -> List[np.ndarray]:
+        """Collect the replies still in flight under ``slack`` (the
+        stream's last blocks).  Returns them oldest-first."""
+        outs = []
+        while self._inflight:
+            self._inflight.popleft()
+            outs.append(self._read_proc_reply())
+        return outs
+
     def close(self) -> None:
         try:
+            self.drain()  # daemon replies to every PROC: consume them
             _send_msg(self.sock, T_BYE)
         except OSError:
             pass

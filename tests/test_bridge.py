@@ -584,6 +584,30 @@ def test_daemon_pipelined_latency_and_stream(daemon_pipelined, daemon, rng):
         y1[:, extra:], y0[:, : y0.shape[1] - extra])
 
 
+def test_client_slack_stream_parity(daemon, rng):
+    """A slack-S client's stream equals the slack-0 stream delayed by
+    exactly S blocks (zeros while the window fills): the client-side
+    spike absorption never changes the audio, only when it arrives."""
+    rate = 48000
+    block = 512
+    n_blocks = 12
+    x = (rng.standard_normal((1, n_blocks * block)) * 0.5).astype(
+        np.float32)
+    streams = {}
+    for slack in (0, 2):
+        cl = BridgeClient(daemon, rate, 1, slack=slack)
+        outs = [cl.process(x[:, i * block : (i + 1) * block], 25.0)
+                for i in range(n_blocks)]
+        outs += cl.drain()
+        cl.close()
+        streams[slack] = np.concatenate(outs, axis=1)
+    y0, y2 = streams[0], streams[2]
+    extra = 2 * block
+    assert y2.shape[1] == y0.shape[1] + extra
+    np.testing.assert_array_equal(y2[:, :extra], 0.0)
+    np.testing.assert_array_equal(y2[:, extra:], y0)
+
+
 def test_analyze_over_socket_matches_local(daemon, rng):
     """The daemon ANALYZE protocol returns the same angles as a local
     find_min_peak_angle (the CLI workflow over the socket)."""
