@@ -23,6 +23,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <vector>
 
@@ -169,6 +170,9 @@ void usage() {
           "  -m          print engine meter levels (enabled per "
           "session via CTRL ui_on)\n"
           "  -r          pace at 1x realtime\n"
+          "  -k <n>      reply slack: keep n PROCs in flight (spike\n"
+          "              absorption on a jittery engine link; output\n"
+          "              is identical, replies just overlap requests)\n"
           "  -A          analyze: find the minimum-peak angle(s)\n"
           "  -l          link channels (-A): minimize the downmix peak\n"
           "  -S <n>      coarse stride in half-degree units (-A, def 24)\n"
@@ -247,9 +251,9 @@ int main(int argc, char** argv) {
   double angle0 = 0.0, angle1 = 0.0;
   bool have_angle1 = false, realtime = false, meters = false;
   bool analyze = false, link = false;
-  long block = 1024, stride = 24, blksiz = 0;
+  long block = 1024, stride = 24, blksiz = 0, slack = 0;
   int opt;
-  while ((opt = getopt(argc, argv, "s:a:b:mrAlS:f:h")) != -1) {
+  while ((opt = getopt(argc, argv, "s:a:b:mrAlS:f:k:h")) != -1) {
     switch (opt) {
       case 's': sock_path = optarg; break;
       case 'a': {
@@ -265,10 +269,12 @@ int main(int argc, char** argv) {
       case 'l': link = true; break;
       case 'S': stride = atol(optarg); break;
       case 'f': blksiz = atol(optarg); break;
+      case 'k': slack = atol(optarg); break;
       default: usage(); return opt == 'h' ? 0 : 1;
     }
   }
-  if (optind >= argc || block < 1 || block > (1 << 20)) { usage(); return 1; }
+  if (optind >= argc || block < 1 || block > (1 << 20) ||
+      slack < 0 || slack > 64) { usage(); return 1; }
   const char* in_path = argv[optind];
   const char* out_path = optind + 1 < argc ? argv[optind + 1] : nullptr;
 
@@ -321,6 +327,48 @@ int main(int argc, char** argv) {
   timespec t0;
   clock_gettime(CLOCK_MONOTONIC, &t0);
 
+  // reply slack (-k): up to `slack` PROCs stay in flight, so a reply
+  // has that many block periods to land before this client needs it —
+  // same absorber as the Python client's slack (bridge.py).  Replies
+  // arrive in order; the collected output stream is identical.
+  std::deque<size_t> inflight;
+  auto on_info = [&](uint32_t t, const std::vector<uint8_t>& p) {
+    if (!meters || t != prt::kLevels || p.size() < 4) return;
+    uint32_t cnt;
+    memcpy(&cnt, p.data(), 4);
+    for (uint32_t e = 0; e < cnt && 4 + 40 * (e + 1) <= p.size(); ++e) {
+      uint32_t chn;
+      float lv[9];
+      memcpy(&chn, p.data() + 4 + 40 * e, 4);
+      memcpy(lv, p.data() + 8 + 40 * e, 36);
+      fprintf(stderr,
+              "ch%u  in %6.1f dBFS (pk %6.1f)  out %6.1f dBFS "
+              "(pk %6.1f)\n",
+              chn, db(lv[0]), db(lv[2]), db(lv[3]), db(lv[5]));
+    }
+  };
+  auto recv_one = [&]() -> bool {
+    const size_t m = inflight.front();
+    inflight.pop_front();
+    if (!conn.recv_reply(&rtype, &reply, on_info) ||
+        rtype != prt::kProcOk) {
+      fprintf(stderr, "PROC failed: %.*s\n",
+              static_cast<int>(reply.size()),
+              reinterpret_cast<char*>(reply.data()));
+      return false;
+    }
+    if (reply.size() < 4 + 4ull * m * ch) {  // truncated/buggy daemon
+      fprintf(stderr, "PROC reply too short (%zu bytes for %zu frames)\n",
+              reply.size(), m);
+      return false;
+    }
+    const float* got = reinterpret_cast<float*>(reply.data() + 4);
+    peak_out = prt_peak(got, m * ch, peak_out);
+    if (out_path)
+      out_stream.insert(out_stream.end(), got, got + m * ch);
+    return true;
+  };
+
   for (size_t pos = 0; pos < total; pos += block) {
     const size_t m = total - pos < static_cast<size_t>(block)
                          ? total - pos : static_cast<size_t>(block);
@@ -340,36 +388,9 @@ int main(int argc, char** argv) {
       fprintf(stderr, "engine connection lost\n");
       return 1;
     }
-    auto on_info = [&](uint32_t t, const std::vector<uint8_t>& p) {
-      if (!meters || t != prt::kLevels || p.size() < 4) return;
-      uint32_t cnt;
-      memcpy(&cnt, p.data(), 4);
-      for (uint32_t e = 0; e < cnt && 4 + 40 * (e + 1) <= p.size(); ++e) {
-        uint32_t chn;
-        float lv[9];
-        memcpy(&chn, p.data() + 4 + 40 * e, 4);
-        memcpy(lv, p.data() + 8 + 40 * e, 36);
-        fprintf(stderr,
-                "ch%u  in %6.1f dBFS (pk %6.1f)  out %6.1f dBFS "
-                "(pk %6.1f)\n",
-                chn, db(lv[0]), db(lv[2]), db(lv[3]), db(lv[5]));
-      }
-    };
-    if (!conn.recv_reply(&rtype, &reply, on_info) || rtype != prt::kProcOk) {
-      fprintf(stderr, "PROC failed: %.*s\n",
-              static_cast<int>(reply.size()),
-              reinterpret_cast<char*>(reply.data()));
+    inflight.push_back(m);
+    if (inflight.size() > static_cast<size_t>(slack) && !recv_one())
       return 1;
-    }
-    if (reply.size() < 4 + 4ull * m * ch) {  // truncated/buggy daemon
-      fprintf(stderr, "PROC reply too short (%zu bytes for %zu frames)\n",
-              reply.size(), m);
-      return 1;
-    }
-    const float* got = reinterpret_cast<float*>(reply.data() + 4);
-    peak_out = prt_peak(got, m * ch, peak_out);
-    if (out_path)
-      out_stream.insert(out_stream.end(), got, got + m * ch);
     if (realtime) {
       timespec now;
       clock_gettime(CLOCK_MONOTONIC, &now);
@@ -384,6 +405,8 @@ int main(int argc, char** argv) {
       }
     }
   }
+  while (!inflight.empty())  // drain the slack window's tail
+    if (!recv_one()) return 1;
   conn.bye();
 
   if (out_path) {

@@ -103,6 +103,27 @@ def test_native_bridge_end_to_end(daemon, native_built, tmp_path, rng):
     np.testing.assert_allclose(y[0], x, atol=1e-6)
 
 
+def test_native_bridge_slack_output_identical(daemon, native_built,
+                                              tmp_path, rng):
+    """prt_bridge -k 3 (three PROCs in flight) writes a byte-identical
+    output file: slack overlaps requests, never changes the stream."""
+    rate = 48000
+    n = 6000
+    x = (0.5 * rng.standard_normal(n)).astype(np.float32)
+    src = tmp_path / "in.wav"
+    write_wav(str(src), x, rate)
+    outs = {}
+    for k in ("0", "3"):
+        dst = tmp_path / f"out{k}.wav"
+        res = subprocess.run(
+            [os.path.join(native_built, "prt_bridge"), "-s", daemon,
+             "-a", "40", "-b", "333", "-k", k, str(src), str(dst)],
+            capture_output=True, text=True, timeout=120)
+        assert res.returncode == 0, res.stderr
+        outs[k] = dst.read_bytes()
+    assert outs["0"] == outs["3"]
+
+
 def test_native_bridge_pcm16_stereo_rotation(daemon, native_built,
                                              tmp_path, rng):
     rate = 48000
