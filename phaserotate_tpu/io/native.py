@@ -25,6 +25,7 @@ __all__ = [
     "pcm24_to_f32",
     "f32_to_pcm24",
     "flac_decode",
+    "vorbis_decode",
     "pack_residual_raw",
     "Ring",
 ]
@@ -101,6 +102,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.prt_pack_residual.argtypes = [
             i16p, ctypes.c_int64, ctypes.c_int64,
             i32p, ctypes.c_int64, i32p, i32p, i32p]
+    except AttributeError:
+        pass
+    try:  # round-5 addition (vorbis_decode.cc): absence is fine
+        lib.prt_vorbis_decode.restype = ctypes.c_int64
+        lib.prt_vorbis_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
     except AttributeError:
         pass
     _lib = lib
@@ -241,6 +249,32 @@ def flac_decode(data: bytes, frame_start: int, channels: int,
         frame_start, channels, stream_bits,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), stride,
         int(total)))
+    if rc < 0:
+        return None
+    return out[:, :rc]
+
+
+def vorbis_decode(data: bytes, channels: int, rate: int,
+                  max_frames: int) -> Optional[np.ndarray]:
+    """Decode a whole Ogg Vorbis stream natively (vorbis_decode.cc).
+
+    ``channels``/``rate`` come from the caller's header probe and
+    ``max_frames`` bounds the output (final granule + slack).  Returns
+    (channels, frames) float32, or None when the native library is
+    unavailable or the decoder reports any error — the caller then uses
+    the pure-Python reference decoder (io/vorbis.py), which also owns
+    the error-message surface for corrupt files.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "prt_vorbis_decode"):
+        return None
+    if channels < 1 or max_frames < 0:
+        return None
+    out = np.empty((channels, max_frames), np.float32)
+    buf = np.frombuffer(data, np.uint8)
+    rc = int(lib.prt_vorbis_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        _fptr(out), max_frames, channels, rate))
     if rc < 0:
         return None
     return out[:, :rc]

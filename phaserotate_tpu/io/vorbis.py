@@ -786,19 +786,119 @@ def _parse_comments(pkt: bytes, meta: WavMetadata) -> None:
         pass  # malformed comments are non-fatal
 
 
+def _header_packets(data: bytes, want: int = 3) -> List[bytes]:
+    """First ``want`` packets of the first logical stream, walking pages
+    WITHOUT CRC verification — the cheap probe the native fast path
+    needs (the native decoder re-verifies every page's CRC itself).
+    Returns fewer packets if the stream is malformed/short."""
+    packets: List[bytes] = []
+    partial = b""
+    pos = 0
+    serial = None
+    while pos + 27 <= len(data) and len(packets) < want:
+        if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
+            break
+        htype = data[pos + 5]
+        (page_serial,) = struct.unpack_from("<I", data, pos + 14)
+        nsegs = data[pos + 26]
+        seg_table = data[pos + 27 : pos + 27 + nsegs]
+        if len(seg_table) != nsegs:
+            break
+        body_start = pos + 27 + nsegs
+        body_len = sum(seg_table)
+        body = data[body_start : body_start + body_len]
+        if len(body) != body_len:
+            break
+        pos = body_start + body_len
+        if serial is None:
+            serial = page_serial
+        if page_serial != serial:
+            continue
+        if not (htype & 0x01):
+            partial = b""
+        off = 0
+        for seg in seg_table:
+            partial += body[off : off + seg]
+            off += seg
+            if seg < 255:
+                packets.append(partial)
+                partial = b""
+                if len(packets) >= want:
+                    break
+    return packets
+
+
+def _tail_granule(data: bytes) -> int:
+    """Final granule position from the stream tail (validated pages
+    only; -1 when none is found) — sizing input for the native path."""
+    tail = data[-65536:]
+    base = len(data) - len(tail)
+    i = len(tail)
+    while True:
+        i = tail.rfind(b"OggS", 0, i)
+        if i < 0:
+            return -1
+        if i + 27 > len(tail) or tail[i + 4] != 0:
+            continue
+        nsegs = tail[i + 26]
+        body = sum(tail[i + 27 : i + 27 + nsegs])
+        end = i + 27 + nsegs + body
+        if base + end > len(data) or end > len(tail):
+            continue
+        (page_crc,) = struct.unpack_from("<I", tail, i + 22)
+        page = bytearray(tail[i:end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != page_crc:
+            continue
+        granule = struct.unpack_from("<q", tail, i + 6)[0]
+        return max(-1, granule)
+
+
+def _read_ogg_native(data: bytes, meta: WavMetadata):
+    """Native fast path (native/vorbis_decode.cc): probe the headers in
+    Python (channels/rate for validation, comment packet for metadata,
+    tail granule for output sizing), decode everything else natively.
+    Returns (audio, rate) or None -> pure-Python reference decoder."""
+    from . import native as _native
+
+    heads = _header_packets(data)
+    if len(heads) < 3:
+        return None
+    ident = heads[0]
+    if len(ident) < 30 or ident[0] != 1 or ident[1:7] != b"vorbis":
+        return None
+    channels = ident[11]
+    (rate,) = struct.unpack_from("<I", ident, 12)
+    granule = _tail_granule(data)
+    if channels < 1 or rate < 1 or granule < 0:
+        return None
+    audio = _native.vorbis_decode(data, channels, rate,
+                                  granule + 65536)
+    if audio is None:
+        return None
+    _parse_comments(heads[1], meta)
+    return audio, rate
+
+
 def read_ogg(path: str) -> Tuple[np.ndarray, int, WavMetadata]:
     """Decode an Ogg Vorbis file -> ((channels, n) float32, rate, meta).
 
     Vorbis comments map onto the INFO string table (TITLE->INAM etc.),
-    like the FLAC reader."""
+    like the FLAC reader.  Decode runs in the native frame decoder
+    (native/vorbis_decode.cc) when built; any error there falls back to
+    this module's pure-Python reference decoder, which owns the exact
+    error messages."""
     with open(path, "rb") as f:
         data = f.read()
     if not is_ogg(data):
         raise OggFormatError(f"{path}: not an Ogg stream")
+    meta = WavMetadata(container="OGG")
+    fast = _read_ogg_native(data, meta)
+    if fast is not None:
+        return fast[0], fast[1], meta
     packets, final_granule = _ogg_packets(data)
     if len(packets) < 3:
         raise OggFormatError(f"{path}: missing Vorbis headers")
-    meta = WavMetadata(container="OGG")
     try:
         setup = _Setup(packets[0], packets[2])
     except _EndOfPacket:
