@@ -253,10 +253,14 @@ def _make_disk_corpus(root, n_files=512, rate=48000, seconds=10,
     byte-identical to earlier rounds for comparability; the ``wavq``
     tier carries a clean-master -54 dBFS noise floor, where lossless
     residual packing engages (~11 bits/sample) — the content class the
-    packed wire transport exists for.  Returns {fmt: [paths]}."""
+    packed wire transport exists for.  The ``ogg`` tier encodes the
+    original signals as Ogg Vorbis (round-4 verdict #4: lossy formats
+    in the fleet hot path — decoded by native/vorbis_decode.cc).
+    Returns {fmt: [paths]}."""
     import shutil
 
     from phaserotate_tpu.io import write_flac, write_wav
+    from phaserotate_tpu.io.vorbisenc import write_ogg
 
     os.makedirs(root, exist_ok=True)
     n = rate * seconds
@@ -279,7 +283,8 @@ def _make_disk_corpus(root, n_files=512, rate=48000, seconds=10,
     for fmt, write, signals in (
             ("wav", write_wav16, uniq),
             ("flac", lambda p, x: write_flac(p, x, rate, bits=16), uniq),
-            ("wavq", write_wav16, quiet)):
+            ("wavq", write_wav16, quiet),
+            ("ogg", lambda p, x: write_ogg(p, x, rate), uniq)):
         ext = "wav" if fmt == "wavq" else fmt
         bucket = []
         for u in range(n_unique):
@@ -448,7 +453,8 @@ def bench_search_disk(rate=48000, seconds=10, batch=512, chunk=64):
         for name, paths, rounds in (("mixed", mixed, REPS),
                                     ("wav", wavs, 2),
                                     ("flac", flacs, 2),
-                                    ("wavq", quiets, 2)):
+                                    ("wavq", quiets, 2),
+                                    ("ogg", corpus["ogg"], 2)):
             probes.append(measure_wire_bw(16))
             shipped[0] = 0
             ser, sus = [], []
