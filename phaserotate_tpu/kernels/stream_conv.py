@@ -121,11 +121,12 @@ def _fir_parts_np(fir_taps: int) -> np.ndarray:
     return out
 
 
-def _make_kernel(t: int, ns: int, d_rows: int, mix: bool):
+def _make_kernel(t: int, ns: int, d_rows: int, mix: bool,
+                 prec=jax.lax.Precision.HIGHEST):
     def dot(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
-            precision=_PREC, preferred_element_type=jnp.float32)
+            precision=prec, preferred_element_type=jnp.float32)
 
     def kernel(*refs):
         if mix:
@@ -189,7 +190,8 @@ def _make_kernel(t: int, ns: int, d_rows: int, mix: bool):
     return kernel
 
 
-def _call(frames: jnp.ndarray, fir_taps: int, angs, t_blocks: int):
+def _call(frames: jnp.ndarray, fir_taps: int, angs, t_blocks: int,
+          bf16: bool = False):
     mix = angs is not None
     if not small_conv_supported(fir_taps):
         raise ValueError(f"unsupported fir_taps {fir_taps}")
@@ -238,7 +240,8 @@ def _call(frames: jnp.ndarray, fir_taps: int, angs, t_blocks: int):
         transcendentals=b * n_blocks * 2 * P if mix else 0,
     )
     out = pl.pallas_call(
-        _make_kernel(t_blocks, ns, d_rows, mix),
+        _make_kernel(t_blocks, ns, d_rows, mix,
+                     jax.lax.Precision.DEFAULT if bf16 else _PREC),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -253,11 +256,13 @@ def _call(frames: jnp.ndarray, fir_taps: int, angs, t_blocks: int):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("fir_taps", "t_blocks"))
+@functools.partial(jax.jit, static_argnames=("fir_taps", "t_blocks",
+                                              "bf16"))
 def fused_hilbert_small(
     x: jnp.ndarray,
     fir_taps: int,
     t_blocks: int = 256,
+    bf16: bool = False,
 ) -> jnp.ndarray:
     """Linear convolution stream ``h[m] = (fir * x)[m]`` of ``x`` (..., n)
     with the ``fir_taps``-tap Hilbert FIR, via the small-geometry kernel.
@@ -265,13 +270,20 @@ def fused_hilbert_small(
     Returns (..., n_frames*P) with ``n_frames = ceil(n/P) + fir_taps/P``
     — covers the full convolution support (identical arithmetic role to
     ops.convolve.partitioned_convolve's head; parity-tested).
+
+    ``bf16=True`` runs the DFT/MAC matmuls at DEFAULT precision (one
+    bf16 MXU pass instead of HIGHEST's multi-pass f32 emulation) — the
+    opt-in fast mode for angle SELECTION, where only the argmin must
+    survive, not 1e-5 waveform parity.  Guarded by the on-chip
+    selected-angle equality test (tests_tpu) before any fleet use.
     """
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
     b = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
     n_frames = -(-n // P) + fir_taps // P
     xp = jnp.pad(x.reshape(b, n), ((0, 0), (0, n_frames * P - n)))
-    h = _call(xp.reshape(b, n_frames, P), fir_taps, None, t_blocks)
+    h = _call(xp.reshape(b, n_frames, P), fir_taps, None, t_blocks,
+              bf16=bf16)
     return h.reshape(*batch_shape, n_frames * P)
 
 

@@ -48,7 +48,8 @@ def _offline_frames(x: jnp.ndarray, parsiz: int) -> int:
     return -(-x.shape[-1] // parsiz)
 
 
-def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
+def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry,
+                    bf16: bool = False) -> jnp.ndarray:
     """Full-stream Hilbert-FIR signal ``h[m] = (fir * x)[m]`` with the
     offline geometry, length ``(B+1)*parsiz`` (one flush block).
 
@@ -56,6 +57,8 @@ def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
     arithmetic to PhaseRotateProc::hilbert (cli/phase-rotate.cc:181-212).
     On TPU the convolution runs in the fused Pallas MXU kernel (the
     offline parsiz is always a supported power of two >= 1024).
+    ``bf16`` selects the DEFAULT-precision (one bf16 MXU pass) variant
+    for selection-only sweeps; off-TPU it is a no-op.
     """
     from ..ops.rotate import _on_tpu
 
@@ -73,7 +76,7 @@ def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
         )
 
         if small_conv_supported(parsiz):
-            h = fused_hilbert_small(x, fir_taps=parsiz)
+            h = fused_hilbert_small(x, fir_taps=parsiz, bf16=bf16)
             want = (n_blocks + 1) * parsiz
             if h.shape[-1] < want:  # conv support ends before the flush
                 # block boundary: the missing tail is exactly zero
@@ -91,7 +94,8 @@ def hilbert_offline(x: jnp.ndarray, geom: OfflineGeometry) -> jnp.ndarray:
     return full[..., : (n_blocks + 1) * parsiz]
 
 
-def aligned_pair(x: jnp.ndarray, geom: OfflineGeometry):
+def aligned_pair(x: jnp.ndarray, geom: OfflineGeometry,
+                 bf16: bool = False):
     """The evaluation operands of the CLI sweep (alignment map in the
     module docstring): returns ``(b0, b1, h_start, x_peak)`` where
     ``(b0, b1)`` are the aligned dry/Hilbert pairs for the post-start
@@ -105,7 +109,7 @@ def aligned_pair(x: jnp.ndarray, geom: OfflineGeometry):
     pad = n_blocks * parsiz - x.shape[-1]
     x_pad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad + parsiz)])
 
-    h = hilbert_offline(x, geom)  # (..., total)
+    h = hilbert_offline(x, geom, bf16=bf16)  # (..., total)
 
     # aligned pairs for m in [parsiz, total)
     b0 = x_pad[..., parsiz - firlen : total - firlen]  # x[m - firlen]
@@ -117,15 +121,16 @@ def aligned_pair(x: jnp.ndarray, geom: OfflineGeometry):
     return b0, b1, h_start, x_peak
 
 
-@functools.partial(jax.jit, static_argnames=("geom", "chunk"))
+@functools.partial(jax.jit, static_argnames=("geom", "chunk", "bf16"))
 def _sweep_impl(
     x: jnp.ndarray,
     geom: OfflineGeometry,
     chunk: int,
+    bf16: bool = False,
 ) -> tuple:
     from ..kernels.rotate_peak import rotate_peak_sweep_kernel
 
-    b0, b1, h_start, x_peak = aligned_pair(x, geom)
+    b0, b1, h_start, x_peak = aligned_pair(x, geom, bf16=bf16)
     cs = all_angle_cos_sin()  # (2, 360)
 
     # fused Pallas sweep: every angle x every sample, batched over all
@@ -163,11 +168,17 @@ def sweep_peaks(
     return _sweep_impl(x, geom, chunk)[0]
 
 
-def sweep_peaks_aux(audio, geom: OfflineGeometry, chunk: int = 4096):
+def sweep_peaks_aux(audio, geom: OfflineGeometry, chunk: int = 4096,
+                    bf16: bool = False):
     """Like :func:`sweep_peaks` but also returns the (...,) "rotated at 0"
-    aux peak needed for bit-exact fine-pass parity (see minimize.py)."""
+    aux peak needed for bit-exact fine-pass parity (see minimize.py).
+
+    ``bf16=True`` opts the Hilbert convolution into one-pass bf16 MXU
+    matmuls — for selection-only workloads (the rotate+peak stage stays
+    exact f32 on the VPU).  Guarded by the on-chip selected-angle
+    equality test before fleet use."""
     x = jnp.asarray(audio, jnp.float32)
-    return _sweep_impl(x, geom, chunk)
+    return _sweep_impl(x, geom, chunk, bf16=bf16)
 
 
 def pack_pcm16(x16: np.ndarray) -> np.ndarray:
@@ -194,13 +205,15 @@ def _unpack_pcm16(packed: jnp.ndarray, n: int) -> jnp.ndarray:
     return x16.astype(jnp.float32) * (1.0 / 32768.0)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "geom", "chunk"))
-def _sweep_impl_pcm16(packed, n: int, geom: OfflineGeometry, chunk: int):
-    return _sweep_impl(_unpack_pcm16(packed, n), geom, chunk)
+@functools.partial(jax.jit, static_argnames=("n", "geom", "chunk",
+                                              "bf16"))
+def _sweep_impl_pcm16(packed, n: int, geom: OfflineGeometry, chunk: int,
+                      bf16: bool = False):
+    return _sweep_impl(_unpack_pcm16(packed, n), geom, chunk, bf16=bf16)
 
 
 def sweep_peaks_aux_pcm16(audio_i16, geom: OfflineGeometry,
-                          chunk: int = 4096):
+                          chunk: int = 4096, bf16: bool = False):
     """:func:`sweep_peaks_aux` over raw int16 PCM.
 
     Fleet ingest path: ships HALF the bytes of float32 over the
@@ -213,7 +226,7 @@ def sweep_peaks_aux_pcm16(audio_i16, geom: OfflineGeometry,
     if x.dtype != np.int16:
         raise TypeError(f"expected int16 PCM, got {x.dtype}")
     return _sweep_impl_pcm16(jnp.asarray(pack_pcm16(x)), x.shape[-1],
-                             geom, chunk)
+                             geom, chunk, bf16=bf16)
 
 
 @functools.partial(jax.jit, static_argnames=("geom",))

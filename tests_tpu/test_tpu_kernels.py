@@ -134,3 +134,58 @@ def test_end_to_end_rotate_and_search_parity(rng, tmp_path):
     got_units = res.angles_units[0] % MAXSAMPLE
     lo, hi = float(sim.peak[0].min()), float(sim.peak[0].max())
     assert sim.peak[0][got_units] <= lo + 0.07 * (hi - lo) + 1e-6
+
+
+def test_bf16_sweep_guard(rng):
+    """Guard for the opt-in bf16 sweep (round-4 verdict #6): enabling
+    DEFAULT-precision (one bf16 MXU pass) Hilbert matmuls is allowed in
+    the fleet path ONLY if selected angles match the f32 sweep.
+
+    Measured r5 on the bench chip: 14/32 identical over a realistic
+    corpus (music-like multitone at three noise floors + near-tie
+    quadrature synthetics), with basin-jumping mismatches on near-flat
+    tables — bf16's ~3e-3 relative Hilbert error exceeds the spacing of
+    the table's near-equal minima.  Speed delta measured at the fleet
+    shape (512 x 10 s): 2095 -> 2397 files/s (+14%; the exact-f32 VPU
+    rotate+peak stage dominates).  Verdict: NOT wired in; this test
+    xfails while that holds and will XPASS loudly if a compiler/HW
+    change ever makes the guard pass, prompting re-evaluation.
+    """
+    import pytest
+
+    from phaserotate_tpu.core.sizes import OfflineGeometry
+    from phaserotate_tpu.search.minimize import (
+        select_min_peak_angles_batch,
+    )
+    from phaserotate_tpu.search.sweep import sweep_peaks_aux_pcm16
+
+    rate, seconds = 48000, 2
+    n = rate * seconds
+    t = np.arange(n) / rate
+    sigs = []
+    for u in range(8):
+        f0 = 55.0 * (u + 2)
+        sigs.append(0.4 * np.sin(2 * np.pi * f0 * t)
+                    + 0.2 * np.sin(2 * np.pi * 2.7 * f0 * t + 0.3 * u)
+                    + [0.05, 0.002][u % 2] * rng.standard_normal(n))
+    for u in range(4):  # near-tie: quadrature pair, near-flat table
+        f0 = 100.0 + 37 * u
+        sigs.append(0.5 * np.sin(2 * np.pi * f0 * t)
+                    + 0.5 * np.cos(2 * np.pi * f0 * t + 0.01 * u))
+    x16 = np.clip(np.rint(np.stack(sigs)[:, None] * 20000),
+                  -32768, 32767).astype(np.int16)
+    geom = OfflineGeometry(blksiz=8192)
+
+    def select(bf16):
+        tbl, rot0 = sweep_peaks_aux_pcm16(x16, geom, bf16=bf16)
+        return [r.angles_units for r in select_min_peak_angles_batch(
+            np.asarray(tbl), rot0=np.asarray(rot0))]
+
+    f32 = select(False)
+    bf = select(True)
+    mism = [(i, p, q) for i, (p, q) in enumerate(zip(f32, bf))
+            if p != q]
+    if mism:
+        pytest.xfail(f"bf16 sweep guard fails ({len(mism)}/{len(f32)} "
+                     f"mismatched selections, e.g. {mism[:3]}) — "
+                     f"bf16 stays out of the fleet path")
