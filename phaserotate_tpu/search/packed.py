@@ -259,12 +259,20 @@ def pack_adaptive(x16: np.ndarray, scratch: np.ndarray,
 
     Runs the native packer with ``scratch`` (int32) as both the word
     budget and the output buffer: the budget is ``threshold`` x the
-    pcm16 wire size, so content whose residuals don't compress (this
-    corpus's loud noise floors, already-noisy masters) aborts the pack
-    mid-way and ships the plain 16-bit bitcast instead — the fleet
-    never pays wire for a transport that doesn't win.  Returns None
-    when pcm16 should be shipped (budget exceeded, or no native
-    packer — the numpy pack is slower than the wire it would save).
+    pcm16 wire size, so content whose residuals don't compress (fully
+    noise-dominated material) aborts the pack mid-way and ships the
+    plain 16-bit bitcast instead — the fleet never pays wire for a
+    transport that doesn't win.  The 10% margin is measured, not
+    hedged: the pack rides the staging thread and the in-graph unpack
+    hides under the next chunk's transfer in the pipelined fleet, but
+    in a serial pass both land on the critical path (r5 controlled
+    measurement at 15.31 bits/sample: packed 2.34 s/chunk vs pcm16
+    1.83 — a ~4% byte saving loses to ~0.5 s of exposed pack+unpack),
+    while at a real margin the transport wins decisively (the bench's
+    -54 dBFS tier at 11.48 bits/sample: 26.1 vs 14.8 files/s in the
+    same window).  Returns None when pcm16 should be shipped (budget
+    exceeded, or no native packer — the numpy pack is slower than the
+    wire it would save).
     """
     from ..io.native import pack_residual_raw
 
