@@ -189,3 +189,30 @@ def test_bf16_sweep_guard(rng):
         pytest.xfail(f"bf16 sweep guard fails ({len(mism)}/{len(f32)} "
                      f"mismatched selections, e.g. {mism[:3]}) — "
                      f"bf16 stays out of the fleet path")
+
+
+def test_packed_transport_on_chip_parity(rng):
+    """The packed wire transport through the COMPILED unpack program
+    (bitcast/shift/gather/cumsum on real Mosaic/XLA-TPU, not interpret
+    mode) is bitwise-identical to the pcm16 path, native packer
+    included."""
+    from phaserotate_tpu.core.sizes import OfflineGeometry
+    from phaserotate_tpu.search.packed import (
+        pack_residual,
+        sweep_peaks_aux_packed,
+    )
+    from phaserotate_tpu.search.sweep import sweep_peaks_aux_pcm16
+
+    rate, n = 48000, 30000
+    t = np.arange(n) / rate
+    x16 = np.clip(np.rint(np.stack([
+        28000 * np.sin(2 * np.pi * 220 * t)
+        + 400 * rng.standard_normal(n),
+        20000 * np.sin(2 * np.pi * 97 * t)
+        + 4000 * rng.standard_normal(n),
+    ])[:, None]), -32768, 32767).astype(np.int16)
+    geom = OfflineGeometry(blksiz=1024)
+    want_t, want_r = sweep_peaks_aux_pcm16(x16, geom)
+    got_t, got_r = sweep_peaks_aux_packed(pack_residual(x16), geom)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
