@@ -781,6 +781,17 @@ def main():
                     / max(wire_bw * 1e6
                           / (disk["mixed"]["bits_per_sample"] / 8.0
                              * 48000 * 10), 1e-9), 2),
+                # the pass's own achieved host->device rate (bytes
+                # shipped / wall time).  r5 instrumented timelines show
+                # forces returning instantly once transfers land and
+                # effective rate == the adjacent probe: the pipeline IS
+                # wire-saturated — pct_of_ceiling < 1 is the probe and
+                # the pass sampling different seconds of a link that
+                # swings several-fold minute to minute
+                "search_disk_effective_mb_s": {
+                    k: round(v["fps"] * v["bits_per_sample"] / 8.0
+                             * 48000 * 10 / 1e6, 1)
+                    for k, v in disk.items()},
                 # ADJUDICATION of the 100 files/s north star on this
                 # link: the bits/sample a 10 s mono file must fit in,
                 # vs the corpus's own measured lossless floor (its
