@@ -269,13 +269,16 @@ def _make_disk_corpus(root, n_files=512, rate=48000, seconds=10,
     byte-identical to earlier rounds for comparability; the ``wavq``
     tier carries a clean-master -54 dBFS noise floor, where lossless
     residual packing engages (~11 bits/sample) — the content class the
-    packed wire transport exists for.  The ``ogg`` tier encodes the
-    original signals as Ogg Vorbis (round-4 verdict #4: lossy formats
-    in the fleet hot path — decoded by native/vorbis_decode.cc).
-    Returns {fmt: [paths]}."""
+    packed wire transport exists for.  The ``ogg``/``opus``/``mp3``
+    tiers encode the original signals lossily (round-4 verdict #4:
+    lossy formats in the fleet hot path — Vorbis decoded by
+    native/vorbis_decode.cc, Opus/MP3 by the libopus/libmpg123
+    bindings).  Returns {fmt: [paths]}."""
     import shutil
 
     from phaserotate_tpu.io import write_flac, write_wav
+    from phaserotate_tpu.io.mp3 import write_mp3
+    from phaserotate_tpu.io.opus import write_opus
     from phaserotate_tpu.io.vorbisenc import write_ogg
 
     os.makedirs(root, exist_ok=True)
@@ -300,7 +303,9 @@ def _make_disk_corpus(root, n_files=512, rate=48000, seconds=10,
             ("wav", write_wav16, uniq),
             ("flac", lambda p, x: write_flac(p, x, rate, bits=16), uniq),
             ("wavq", write_wav16, quiet),
-            ("ogg", lambda p, x: write_ogg(p, x, rate), uniq)):
+            ("ogg", lambda p, x: write_ogg(p, x, rate), uniq),
+            ("opus", lambda p, x: write_opus(p, x, rate), uniq),
+            ("mp3", lambda p, x: write_mp3(p, x, rate), uniq)):
         ext = "wav" if fmt == "wavq" else fmt
         bucket = []
         for u in range(n_unique):
@@ -470,7 +475,9 @@ def bench_search_disk(rate=48000, seconds=10, batch=512, chunk=64):
                                     ("wav", wavs, 2),
                                     ("flac", flacs, 2),
                                     ("wavq", quiets, 2),
-                                    ("ogg", corpus["ogg"], 2)):
+                                    ("ogg", corpus["ogg"], 2),
+                                    ("opus", corpus["opus"], 1),
+                                    ("mp3", corpus["mp3"], 1)):
             probes.append(measure_wire_bw(16))
             shipped[0] = 0
             ser, sus = [], []
