@@ -59,6 +59,31 @@ def test_fleet_transport_parity(tmp_path, rng):
                 res[p][0].peak_min, base[p][0].peak_min)
 
 
+def test_fleet_transport_parity_stereo(tmp_path, rng):
+    """Stereo batches stage as (files, 2, n): the packed transport's
+    stream axis covers files x channels — selections must still match
+    the pcm16 wire per channel."""
+    rate = 48000
+    t = np.arange(30000) / rate
+    paths = []
+    for i in range(3):
+        x = np.stack([
+            0.5 * np.sin(2 * np.pi * (120 + 31 * i) * t)
+            + 0.01 * rng.standard_normal(t.size),
+            0.4 * np.sin(2 * np.pi * (260 + 17 * i) * t + 0.7)
+            + 0.01 * rng.standard_normal(t.size),
+        ]).astype(np.float32)
+        p = str(tmp_path / f"s{i}.wav")
+        write_wav(p, x, rate, bits=16, float_format=False)
+        paths.append(p)
+    base = analyze_paths(paths, transport="pcm16")
+    res = analyze_paths(paths, transport="packed")
+    for p in paths:
+        assert res[p][0].angles_units == base[p][0].angles_units
+        np.testing.assert_array_equal(
+            res[p][0].peak_min, base[p][0].peak_min)
+
+
 def test_fleet_mixed_lengths_and_formats(tmp_path, rng):
     """Different lengths land in different buckets; FLAC rides the
     same int16 ingest; results still match per-file search."""
