@@ -39,7 +39,7 @@ from .core.angles import SUBSAMPLE
 from .core.sizes import offline_geometry
 from .search.minimize import SearchResult, select_min_peak_angles_batch
 
-__all__ = ["analyze_paths", "main"]
+__all__ = ["analyze_paths", "apply_paths", "main"]
 
 
 def _bucket_key(rate: int, channels: int, n: int, parsiz: int):
@@ -211,6 +211,98 @@ def _apply_one(path: str, outdir: str, result: SearchResult,
     return dst
 
 
+def apply_paths(
+    paths: Sequence[str],
+    results: Dict[str, Tuple[SearchResult, int]],
+    outdir: str,
+    blksiz: int = 0,
+    batch: int = 16,
+    progress=None,
+) -> Dict[str, str]:
+    """Write rotated copies of many files with BATCHED device passes.
+
+    The analyze pass is batched (analyze_paths); a per-file apply would
+    undo that — one small dispatch and one fresh XLA compile per unique
+    file length.  Here files bucket by (rate, channels, padded length)
+    exactly like the sweep (zero-padding is EXACT for apply too: the
+    Hilbert FIR is causal with one-partition support, so outputs at
+    m < n never see the pad — parity-tested against per-file
+    apply_angles), decode/encode ride a staging thread, and one device
+    pass rotates ``batch`` files.
+
+    Returns {path: written path}.
+    """
+    import os
+
+    from .io import read_audio, write_audio
+    from .search.sweep import apply_angles
+
+    os.makedirs(outdir, exist_ok=True)
+    written: Dict[str, str] = {}
+
+    buckets: Dict[tuple, List[str]] = {}
+    meta: Dict[str, tuple] = {}
+    for p in paths:
+        rate, channels, n = _probe(p)
+        geom = offline_geometry(rate, blksiz)
+        key = _bucket_key(rate, channels, n, geom.parsiz)
+        meta[p] = (rate, geom)
+        buckets.setdefault(key, []).append(p)
+
+    pool = ThreadPoolExecutor(1)
+
+    def stage(group: List[str], key):
+        rate, channels, n_pad = key
+        buf = np.zeros((len(group), channels, n_pad), np.float32)
+        lens = []
+        metas = []
+        for i, p in enumerate(group):
+            audio, _rate, m = read_audio(p)
+            audio = np.atleast_2d(np.asarray(audio, np.float32))
+            lens.append(audio.shape[1])
+            metas.append(m)
+            buf[i, :, : min(audio.shape[1], n_pad)] = audio[:, :n_pad]
+        units = np.stack([
+            np.broadcast_to(
+                np.asarray(results[p][0].angles_units, np.int32),
+                (channels,))
+            for p in group])
+        return buf, units, lens, metas
+
+    def finish(pending, rate) -> None:
+        names, handle, lens, metas = pending
+        y = np.asarray(handle)
+        for i, p in enumerate(names):
+            dst = os.path.join(outdir, os.path.basename(p))
+            write_audio(dst, y[i, :, : lens[i]], rate, metas[i],
+                        like=p)
+            written[p] = dst
+            if progress:
+                progress(p, dst)
+
+    try:
+        for key, group in buckets.items():
+            rate, _channels, _n_pad = key
+            geom = meta[group[0]][1]
+            parts = [group[i : i + batch]
+                     for i in range(0, len(group), batch)]
+            fut = pool.submit(stage, parts[0], key)
+            pending = None
+            for bi, names in enumerate(parts):
+                buf, units, lens, metas = fut.result()
+                if bi + 1 < len(parts):
+                    fut = pool.submit(stage, parts[bi + 1], key)
+                handle = apply_angles(buf, units, geom)
+                if pending is not None:
+                    finish(pending, rate)
+                pending = (names, handle, lens, metas)
+            if pending is not None:
+                finish(pending, rate)
+    finally:
+        pool.shutdown()
+    return written
+
+
 def main(argv=None) -> int:
     from .utils.platform import apply_platform_env
 
@@ -257,13 +349,11 @@ def main(argv=None) -> int:
         transport=args.transport)
 
     if args.apply:
-        import os
-
-        os.makedirs(args.outdir, exist_ok=True)
-        for p in args.files:
-            res, _rate = results[p]
-            dst = _apply_one(p, args.outdir, res, args.fftlen)
-            print(f"wrote {dst}", file=sys.stderr)
+        apply_paths(
+            args.files, results, args.outdir, blksiz=args.fftlen,
+            batch=args.batch,
+            progress=lambda _p, dst: print(f"wrote {dst}",
+                                           file=sys.stderr))
     return 0
 
 

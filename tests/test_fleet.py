@@ -104,6 +104,42 @@ def test_fleet_mixed_lengths_and_formats(tmp_path, rng):
         assert res[p][0].angles_units == want.angles_units, p
 
 
+def test_fleet_batched_apply_matches_per_file(tmp_path, rng):
+    """apply_paths (one device pass per batch, files zero-padded to the
+    bucket length) writes the same audio a per-file apply_angles run
+    produces — padding exactness for the APPLY path, mixed lengths and
+    channel counts in one fleet."""
+    from phaserotate_tpu.core.sizes import offline_geometry
+    from phaserotate_tpu.fleet import apply_paths
+    from phaserotate_tpu.io import read_audio
+    from phaserotate_tpu.search.sweep import apply_angles
+
+    rate = 48000
+    paths = _mk(tmp_path, rng, n_files=3, n=20000)
+    t2 = np.arange(33333) / rate
+    stereo = np.stack([
+        0.5 * np.sin(2 * np.pi * 130 * t2),
+        0.4 * np.sin(2 * np.pi * 270 * t2 + 0.5),
+    ]).astype(np.float32)
+    ps = str(tmp_path / "st.wav")
+    write_wav(ps, stereo, rate, bits=16, float_format=False)
+    paths.append(ps)
+
+    results = analyze_paths(paths)
+    outdir = str(tmp_path / "out")
+    written = apply_paths(paths, results, outdir, batch=2)
+    assert set(written) == set(paths)
+    for p in paths:
+        audio, arate, _ = read_audio(p)
+        geom = offline_geometry(arate, 0)
+        want = np.asarray(apply_angles(
+            np.atleast_2d(np.asarray(audio, np.float32)),
+            np.asarray(results[p][0].angles_units), geom))
+        got, grate, _ = read_audio(written[p])
+        assert grate == arate
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_fleet_checkpoint_resume(tmp_path, rng):
     paths = _mk(tmp_path, rng, n_files=4)
     ck = str(tmp_path / "sweeps.npz")
