@@ -471,6 +471,43 @@ def bench_search_disk(rate=48000, seconds=10, batch=512, chunk=64):
             fn(paths)
             return batch / (time.perf_counter() - t0)
 
+        # wire-only replay: the row's exact staged objects re-shipped
+        # with no decode/pack/sweep/selection — the link's speed of
+        # light for THIS row's transfer pattern, measured seconds after
+        # the row in the same link phase.  Point probes swing
+        # several-fold minute to minute (r5 measured 7-50 MB/s), so a
+        # row/probe ratio conflates pipeline quality with link weather;
+        # row/replay isolates the pipeline.  Sum programs are
+        # AOT-compiled from ShapeDtypeStructs so the timed pass pays
+        # transfers only (a scalar readback forces completion —
+        # block_until_ready under-reports on the tunnel backend).
+        _sum_cache = {}
+
+        def _compiled_sum(a):
+            key = (a.shape, a.dtype.name)
+            if key not in _sum_cache:
+                _sum_cache[key] = jax.jit(lambda v: v.sum()).lower(
+                    jax.ShapeDtypeStruct(a.shape, a.dtype)).compile()
+            return _sum_cache[key]
+
+        def _wire_arrays(obj):
+            if isinstance(obj, PackedChunk):
+                return (obj.words, obj.widths, obj.woffs, obj.order)
+            return (obj.view(np.int32),)
+
+        def replay_fps(paths):
+            objs = [stage_chunk(k, part)
+                    for k, part in enumerate(chunks_of(paths))]
+            for obj in objs:
+                for a in _wire_arrays(obj):
+                    _compiled_sum(a)  # compile untimed, no transfer
+            t0 = time.perf_counter()
+            handles = [_compiled_sum(a)(a)
+                       for obj in objs for a in _wire_arrays(obj)]
+            for h in handles:
+                float(h)
+            return batch / (time.perf_counter() - t0)
+
         for name, paths, rounds in (("mixed", mixed, REPS),
                                     ("wav", wavs, 2),
                                     ("flac", flacs, 2),
@@ -493,6 +530,9 @@ def bench_search_disk(rate=48000, seconds=10, batch=512, chunk=64):
                 "bits_per_sample": shipped[0] * 8.0
                 / (2 * rounds * batch * n),
             }
+            rep = replay_fps(paths)
+            results[name]["replay"] = rep
+            results[name]["pct_of_wire"] = max(med_ser, med_sus) / rep
     finally:
         io.shutdown()
         import shutil
@@ -624,12 +664,20 @@ def bench_daemon_sessions(rate=48000, block=256, counts=(1, 2, 4, 8),
         serving-capacity question: the dispatch pipeline absorbs
         individual call stalls, so an occasional slow block does not
         underrun a stream that stays ahead overall.
-      * p99 — every session's 99th-percentile BLOCK time fits the
-        budget.  A synchronous client (the LV2 shim blocks its host's
-        callback on each round trip) needs this stricter bar; on a
-        tunnel with RTT spikes several times the median it is
-        unreachable at small blocks with no slack, and reporting 0
-        there is the honest statement of that.
+      * p99 — every session meets its per-block DEADLINE at the 99th
+        percentile when called at the real-time cadence.  A host's
+        audio callback fires on the block grid (t0 + j*period) and the
+        shim must return before the next grid point; the measurement
+        paces each session on that grid and records completion
+        lateness vs the deadline.  Pacing is what lets ``slack`` act:
+        a reply requested ``slack`` calls ago has had slack whole
+        block periods of wall time to land, not slack median-RTTs —
+        an unpaced back-to-back loop (how this bench measured p99
+        through r4, kept in the detail tuple as percall_p99) can never
+        show the absorber working because it compresses those periods
+        to ~2 ms.  On a tunnel whose RTT spikes exceed
+        (slack+1) x period the paced bar still fails, and reporting 0
+        there remains the honest statement of that.
 
     ``slack`` enables the client-side spike absorber (round-4 verdict
     #3): each client keeps that many PROC replies in flight, so a
@@ -637,7 +685,10 @@ def bench_daemon_sessions(rate=48000, block=256, counts=(1, 2, 4, 8),
     identical, delayed by slack blocks (tests/test_bridge.py parity).
 
     Returns (max_sustained_sessions, max_p99_sessions,
-             {n: (worst_sustained_xrt, worst_p99_xrt)})."""
+             {n: (worst_sustained_xrt, worst_percall_p99_xrt,
+                  worst_paced_p99_xrt)}) where paced_p99_xrt =
+    budget / p99(deadline lateness) — >= 1 means 99% of blocks were
+    delivered within one period of their grid deadline."""
     import tempfile
     import threading
 
@@ -678,15 +729,46 @@ def bench_daemon_sessions(rate=48000, block=256, counts=(1, 2, 4, 8),
                 t.start()
             for t in threads:
                 t.join()
+
+            # paced pass: the strict real-time criterion.  Each session
+            # calls process() on its own block grid (t0 + j*budget) and
+            # records completion lateness vs that grid — exactly what a
+            # host callback experiences.  Lateness accumulates when a
+            # session falls behind, so a stall that the slack window
+            # cannot absorb shows up in p99 even if later calls are fast.
+            paced = [None] * n_sessions
+
+            def run_paced(idx, cl):
+                late = []
+                t0 = time.perf_counter() + budget
+                for j in range(n_iters):
+                    deadline = t0 + j * budget
+                    now = time.perf_counter()
+                    if now < deadline:
+                        time.sleep(deadline - now)
+                    cl.process(x, 30.0)
+                    late.append(time.perf_counter() - deadline)
+                late.sort()
+                p99 = late[min(len(late) - 1, int(0.99 * len(late)))]
+                paced[idx] = budget / max(p99, 1e-9)
+
+            threads = [threading.Thread(target=run_paced, args=(i, cl))
+                       for i, cl in enumerate(clients)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
             for cl in clients:
                 cl.close()
             worst_sus = min(s[0] for s in stats)
-            worst_p99 = min(s[1] for s in stats)
+            worst_call = min(s[1] for s in stats)
+            worst_paced = min(paced)
             results[n_sessions] = (round(worst_sus, 2),
-                                   round(worst_p99, 2))
+                                   round(worst_call, 2),
+                                   round(worst_paced, 2))
             # evaluate EVERY count: brokered sessions share dispatches,
             # so larger counts can pass where a smaller one failed
-            if worst_p99 >= 1.0:
+            if worst_paced >= 1.0:
                 best_p99 = n_sessions
             if worst_sus >= 1.0:
                 best_sustained = n_sessions
@@ -783,11 +865,20 @@ def main():
                     wire_bw * 1e6
                     / (disk["mixed"]["bits_per_sample"] / 8.0
                        * 48000 * 10), 1),
+                # the row's own wire-only replay (same staged bytes,
+                # transfer + force only, same link phase seconds after
+                # the row) is the denominator for pipeline quality:
+                # pct_of_ceiling = row fps / replay fps.  The probe
+                # ceiling above stays for absolute MB/s bookkeeping,
+                # but a point probe minutes away samples different
+                # link weather than the row it divides.
+                "search_disk_replay_fps": {
+                    k: round(v["replay"], 1) for k, v in disk.items()},
+                "search_disk_pct_of_wire": {
+                    k: round(v["pct_of_wire"], 2)
+                    for k, v in disk.items()},
                 "search_disk_pct_of_ceiling": round(
-                    disk["mixed"]["fps"]
-                    / max(wire_bw * 1e6
-                          / (disk["mixed"]["bits_per_sample"] / 8.0
-                             * 48000 * 10), 1e-9), 2),
+                    disk["mixed"]["pct_of_wire"], 2),
                 # the pass's own achieved host->device rate (bytes
                 # shipped / wall time).  r5 instrumented timelines show
                 # forces returning instantly once transfers land and
@@ -833,8 +924,13 @@ def main():
                 "daemon_rtt_p99_ms": round(rtt_p99, 2),
                 # serving capacity: sustained = sessions streaming
                 # >= 1x realtime end to end (the pipeline absorbs call
-                # stalls); p99 = the stricter per-block criterion a
-                # synchronous client needs, honest-zero on a spiky link
+                # stalls); p99 = the strict per-block criterion a
+                # synchronous client needs, measured on the real-time
+                # deadline grid (paced clients — see
+                # bench_daemon_sessions docstring).  The xrt detail is
+                # (sustained, unpaced percall_p99, paced deadline p99)
+                # per count; honest-zero when spikes exceed the
+                # (slack+1)-period window
                 "daemon_sessions_at_rt": sess_rt,
                 "daemon_sessions_at_rt_p99": sess_rt_p99,
                 "daemon_sessions_xrt": sess_detail,
