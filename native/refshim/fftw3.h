@@ -10,9 +10,11 @@
  * This is not FFTW code: the transforms are an independent radix-2
  * implementation computed in double precision (see fftw_shim.cc).
  *
- * Only power-of-two sizes are supported — the reference CLI only ever
- * plans pow2 lengths (blksiz is pow2-clamped at phase-rotate.cc:749-755;
- * fftlen = 2*blksiz, parsiz = blksiz).  Non-pow2 aborts loudly.
+ * Pow2 sizes run a radix-2 FFT; other (even) sizes fall back to a
+ * direct O(n^2) DFT — needed only for the PLUGIN's one-shot firlen
+ * c2r at instantiate (3072 @ <=48 kHz, src/phaserotate.c:361-364).
+ * The CLI plans pow2 lengths exclusively (blksiz pow2-clamped at
+ * phase-rotate.cc:749-755).  Odd sizes abort loudly.
  */
 #ifndef PRT_REFSHIM_FFTW3_H
 #define PRT_REFSHIM_FFTW3_H

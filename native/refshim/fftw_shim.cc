@@ -1,4 +1,5 @@
-// refshim/fftw_shim.cc — independent pow2 FFT behind the fftwf_* API.
+// refshim/fftw_shim.cc — independent FFT behind the fftwf_* API
+// (radix-2 for pow2 sizes, direct DFT otherwise).
 //
 // Conventions match FFTW's documentation exactly (what the reference CLI
 // assumes): r2c is the unnormalized forward DFT, out[k] = sum_j in[j] *
@@ -67,11 +68,47 @@ void fft_inplace (std::vector<double>& re, std::vector<double>& im,
   }
 }
 
-void require_pow2 (int n)
+// direct O(n^2) DFT for non-pow2 sizes, double precision.  The only
+// non-pow2 plan either consumer makes is the PLUGIN's firlen c2r
+// (3072 = 3*2^10 at <=48 kHz, src/phaserotate.c:361-364) — executed
+// once per instantiate for the FIR design, so quadratic cost is fine.
+void dft_direct (std::vector<double>& re, std::vector<double>& im,
+                 int sign)
 {
-  if (n < 2 || (n & (n - 1)) != 0) {
-    std::fprintf (stderr, "refshim fftw: size %d is not a power of two\n",
-                  n);
+  const size_t n = re.size ();
+  std::vector<double> or_ (n, 0.0), oi (n, 0.0);
+  for (size_t k = 0; k < n; ++k) {
+    for (size_t j = 0; j < n; ++j) {
+      const double ang = sign * 2.0 * M_PI * (double)((j * k) % n) /
+                         (double)n;
+      const double wr = std::cos (ang), wi = std::sin (ang);
+      or_[k] += re[j] * wr - im[j] * wi;
+      oi[k] += re[j] * wi + im[j] * wr;
+    }
+  }
+  re.swap (or_);
+  im.swap (oi);
+}
+
+bool is_pow2 (int n)
+{
+  return n >= 2 && (n & (n - 1)) == 0;
+}
+
+void transform (std::vector<double>& re, std::vector<double>& im,
+                int sign)
+{
+  if (is_pow2 ((int)re.size ())) {
+    fft_inplace (re, im, sign);
+  } else {
+    dft_direct (re, im, sign);
+  }
+}
+
+void require_even (int n)
+{
+  if (n < 2 || (n & 1)) {
+    std::fprintf (stderr, "refshim fftw: unsupported size %d\n", n);
     std::abort ();
   }
 }
@@ -83,7 +120,7 @@ extern "C" {
 fftwf_plan
 fftwf_plan_dft_r2c_1d (int n, float* in, fftwf_complex* out, unsigned)
 {
-  require_pow2 (n);
+  require_even (n);
   prt_shim_plan_s* p = new prt_shim_plan_s{ n, 0, in, out };
   return p;
 }
@@ -91,7 +128,7 @@ fftwf_plan_dft_r2c_1d (int n, float* in, fftwf_complex* out, unsigned)
 fftwf_plan
 fftwf_plan_dft_c2r_1d (int n, fftwf_complex* in, float* out, unsigned)
 {
-  require_pow2 (n);
+  require_even (n);
   prt_shim_plan_s* p = new prt_shim_plan_s{ n, 1, out, in };
   return p;
 }
@@ -104,7 +141,7 @@ fftwf_execute_dft_r2c (const fftwf_plan p, float* in, fftwf_complex* out)
   for (int j = 0; j < n; ++j) {
     re[j] = (double)in[j];
   }
-  fft_inplace (re, im, -1);
+  transform (re, im, -1);
   for (int k = 0; k <= n / 2; ++k) {
     out[k][0] = (float)re[k];
     out[k][1] = (float)im[k];
@@ -131,7 +168,7 @@ fftwf_execute_dft_c2r (const fftwf_plan p, fftwf_complex* in, float* out)
   }
   re[n / 2] = (double)in[n / 2][0];
   im[n / 2] = 0.0;
-  fft_inplace (re, im, +1);
+  transform (re, im, +1);
   for (int j = 0; j < n; ++j) {
     out[j] = (float)re[j];
   }

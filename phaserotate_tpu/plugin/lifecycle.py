@@ -101,6 +101,11 @@ class PhaseRotatePlugin:
         self.latency = (self.geom.latency
                         + self.pipeline_depth * self.geom.parsiz)
 
+        # ui:scaleFactor option, clamped 1..2 (src/phaserotate.c:
+        # 261-276).  Intent deviation: the reference then resets
+        # ui_scale to 1.0 a few lines later (:299-300), so the option
+        # is dead in its DSP instance; we apply the clamped value —
+        # pinned both ways by tests/test_ref_plugin_binary.py.
         self.ui_scale = 1.0
         if options and "ui_scale" in options:
             self.ui_scale = float(np.clip(options["ui_scale"], 1.0, 2.0))

@@ -183,7 +183,16 @@ class RefPlugin:
     edge (:576-591).  One channel; audio out + per-run meter levels.
     """
 
-    def __init__(self, rate: int):
+    def __init__(self, rate: int, delay_shift: str = "memmove"):
+        # delay_shift selects the blocks < latency/2 delay-line shift
+        # semantics (src/phaserotate.c:576-591): "memmove" = the
+        # reference's documented #if 0 intent (what the framework
+        # implements); "as_shipped" = the shipped ov > n fallback loop
+        # with its index typo (:585-588 writes buf_dly[n_samples], not
+        # [n_samples + i]) — used by test_ref_plugin_binary.py to pin
+        # the compiled reference binary bit-for-bit.
+        assert delay_shift in ("memmove", "as_shipped")
+        self.delay_shift = delay_shift
         # sizing (src/phaserotate.c:278-297)
         if rate < 64000:
             self.fftlen, self.firlen = 512, 3072
@@ -290,8 +299,17 @@ class RefPlugin:
             # shipped ov > n fallback loop has a typo (:585-588 writes
             # buf_dly[n_samples], not [n_samples + i], leaving
             # (n, ov) unshifted) — meter-display-only; the oracle and
-            # the framework both implement the documented intent.
-            self.buf_dly[:ov] = self.buf_dly[n:].copy()
+            # the framework implement the documented intent by default,
+            # and delay_shift="as_shipped" replicates the typo so the
+            # compiled binary can be pinned exactly.
+            if self.delay_shift == "memmove" or ov <= n:
+                self.buf_dly[:ov] = self.buf_dly[n:].copy()
+            else:
+                self.buf_dly[:n] = self.buf_dly[n : 2 * n].copy()
+                # the shipped loop's net effect: every iteration
+                # rewrites index n; the last leaves buf_dly[ov-1]'s
+                # old value there, and (n, ov) keeps stale data
+                self.buf_dly[n] = self.buf_dly[ov - 1]
             self.buf_dly[ov:] = iobuf
         else:
             peak = np.float32(max(
